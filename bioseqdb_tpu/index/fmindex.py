@@ -1,0 +1,327 @@
+"""FM-index over the doubled (forward + reverse-complement) reference.
+
+TPU-native replacement for libbwa's ``bwt_t``/``bntseq_t`` machinery
+(reference: bioseqdb/bwa.cpp:20-53 pac2bwt, :107-128 build — SA-IS BWT,
+Occ checkpointing via bwt_bwtupdate_core, sampled SA via bwt_cal_sa(32)).
+Instead of bwa's byte-stream BWT with interleaved checkpoints, the index
+is a set of flat arrays laid out for TPU gathers:
+
+- ``blocks`` int32[n_blocks, 12]: per 128 bases of the stored BWT, four
+  exclusive Occ checkpoint counts followed by eight packed words
+  (16 bases/word, big-endian within the word). One row gather (48 B)
+  serves a complete Occ query — the "occurrence-table checkpointing"
+  layout of the north star.
+- ``sa_sample``: SA values at ranks ≡ 0 (mod 32), ``sample[0] = -1``
+  (the same arithmetic trick bwa uses so walks that wrap through the
+  sentinel resolve correctly).
+- annotations: per-reference offset/length tables replacing
+  ``bntann1_t`` (without the ref-id-as-``char*`` hack of bwa.cpp:89,
+  and with correct hole-offset rebasing — the reference's is buggy,
+  bwa.cpp:100-104).
+
+Rank/interval conventions (explicit, property-tested in
+tests/test_fmindex.py):
+
+- ``S`` is the doubled code text of length ``n = 2 * l_pac``; the
+  conceptual BWT ``B`` ranges over ranks ``0..n`` (n+1 rows) of the
+  suffix array of ``S`` + sentinel; ``B[primary] = $``; the stored BWT
+  drops that row.
+- intervals are half-open rank ranges ``[lo, hi)`` within ``[0, n+1)``;
+  the empty pattern has ``[0, n+1)``.
+- bi-intervals for the FMD (bwa's ``bwtintv_t``) are ``(k, l, s)``:
+  ``k`` = lo of the pattern interval, ``l`` = lo of the
+  reverse-complement pattern interval, ``s`` = size.
+
+This module is the host/reference implementation (numpy, scalar-clear);
+the batched device path lives in kernels/fm.py and must match it
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from bioseqdb_tpu.index.native.build import suffix_array
+
+OCC_BLOCK = 128          # bases covered per checkpoint block
+WORDS_PER_BLOCK = OCC_BLOCK // 16
+BLOCK_COLS = 4 + WORDS_PER_BLOCK
+SA_INTERVAL = 32
+
+
+@dataclass
+class FMIndex:
+    l_pac: int                 # forward text length (bases)
+    seq_len: int               # doubled length n = 2 * l_pac
+    primary: int               # conceptual rank of the suffix at position 0
+    L2: np.ndarray             # int64[5] exclusive cumulative symbol counts of S
+    blocks: np.ndarray         # int32[n_blocks, 12] interleaved Occ + packed BWT
+    sa_sample: np.ndarray      # int(32|64)[ceil((n+1)/32)], sample[0] = -1
+    pac: np.ndarray            # uint8[l_pac] forward 2-bit codes (with hole filler)
+    sa_interval: int = SA_INTERVAL
+    # reference annotations (bntann1_t replacement)
+    ref_ids: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+    ref_names: list[str] = field(default_factory=list)
+    ref_offsets: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+    ref_lens: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+    # ambiguity holes in concatenated forward coordinates (bntamb1_t replacement)
+    hole_offsets: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+    hole_lens: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+    hole_chars: np.ndarray = field(default_factory=lambda: np.zeros(0, np.uint8))
+
+    # -- derived ----------------------------------------------------------
+
+    @property
+    def n_refs(self) -> int:
+        return len(self.ref_names)
+
+    @property
+    def C(self) -> np.ndarray:
+        """Rank of the first suffix starting with each symbol (sentinel
+        occupies rank 0, hence the +1)."""
+        return self.L2 + 1
+
+    # -- scalar reference queries (numpy ground truth) --------------------
+
+    def occ_stored(self, c: int, j) -> int:
+        """Count of code ``c`` in the stored BWT prefix ``[0, j)``."""
+        j = int(j)
+        b, r = divmod(j, OCC_BLOCK)
+        row = self.blocks[b]
+        count = int(row[c]) & 0xFFFFFFFF
+        words = np.asarray(row[4:]).view(np.uint32)
+        full, rem = divmod(r, 16)
+        pat = np.uint32(int(c) * 0x55555555)
+        for w in range(full):
+            x = np.uint32(words[w]) ^ pat
+            y = ~(x | (x >> np.uint32(1))) & np.uint32(0x55555555)
+            count += int(bin(int(y)).count("1"))
+        if rem:
+            x = np.uint32(words[full]) ^ pat
+            y = ~(x | (x >> np.uint32(1))) & np.uint32(0x55555555)
+            mask = np.uint32((0x55555555 << (2 * (16 - rem))) & 0xFFFFFFFF)
+            count += int(bin(int(y & mask)).count("1"))
+        return count
+
+    def occB(self, c: int, r) -> int:
+        """Count of code ``c`` in the conceptual BWT prefix ``B[0, r)``
+        (skipping the sentinel row at ``primary``)."""
+        r = int(r)
+        return self.occ_stored(c, r - (1 if r > self.primary else 0))
+
+    def stored_code(self, i: int) -> int:
+        """Code at stored-BWT position i."""
+        b, r = divmod(int(i), OCC_BLOCK)
+        w, o = divmod(r, 16)
+        word = int(self.blocks[b, 4 + w]) & 0xFFFFFFFF
+        return (word >> (2 * (15 - o))) & 3
+
+    def backward_ext(self, lo: int, hi: int, c: int) -> tuple[int, int]:
+        """Extend pattern interval [lo, hi) by prepending code c."""
+        C = int(self.C[c])
+        return C + self.occB(c, lo), C + self.occB(c, hi)
+
+    def backward_search(self, codes) -> tuple[int, int]:
+        """Exact-match interval of a code string (empty interval if absent)."""
+        lo, hi = 0, self.seq_len + 1
+        for c in reversed(list(codes)):
+            if c >= 4:
+                return 0, 0
+            lo, hi = self.backward_ext(lo, hi, int(c))
+            if lo >= hi:
+                return 0, 0
+        return lo, hi
+
+    def fmd_extend(self, k: int, l: int, s: int, is_back: bool):
+        """FMD bi-interval extension (bwa bwt_extend semantics).
+
+        Returns arrays (k4, l4, s4) over the 4 codes: extending the
+        pattern by code c at the front (is_back=True) or the back
+        (is_back=False) of the pattern.
+        """
+        if not is_back:
+            # forward extension == backward extension on the rc interval
+            k4, l4, s4 = self.fmd_extend(l, k, s, True)
+            # result for appending c at the back = rc-extension by comp(c)
+            return l4[::-1].copy(), k4[::-1].copy(), s4[::-1].copy()
+        cnt = np.empty(4, np.int64)
+        lo = np.empty(4, np.int64)
+        for c in range(4):
+            o1 = self.occB(c, k)
+            o2 = self.occB(c, k + s)
+            lo[c] = self.C[c] + o1
+            cnt[c] = o2 - o1
+        has_dollar = 1 if (k <= self.primary < k + s) else 0
+        l4 = np.empty(4, np.int64)
+        l4[3] = l + has_dollar
+        l4[2] = l4[3] + cnt[3]
+        l4[1] = l4[2] + cnt[2]
+        l4[0] = l4[1] + cnt[1]
+        return lo, l4, cnt
+
+    def inv_psi(self, r: int) -> int:
+        """LF step: rank of the suffix at position SA[r] - 1."""
+        if r == self.primary:
+            return 0
+        j = r - (1 if r > self.primary else 0)
+        c = self.stored_code(j)
+        return int(self.C[c]) + self.occB(c, r + 1) - 1
+
+    def sa_at(self, r: int) -> int:
+        """Resolve the SA value of conceptual rank r via the sampled SA."""
+        steps = 0
+        r = int(r)
+        while r % self.sa_interval != 0:
+            r = self.inv_psi(r)
+            steps += 1
+        return int(self.sa_sample[r // self.sa_interval]) + steps
+
+    # -- coordinate mapping ----------------------------------------------
+
+    def depos(self, pos: int, length: int) -> tuple[int, bool]:
+        """Map a doubled-text position of a length-``length`` match to a
+        forward-strand position + strand flag (bwa bns_depos analogue)."""
+        if pos < self.l_pac:
+            return pos, False
+        return self.seq_len - pos - length, True
+
+    def rid_of(self, fwd_pos: int) -> int:
+        """Reference row index containing a forward position."""
+        return int(np.searchsorted(self.ref_offsets, fwd_pos, side="right")) - 1
+
+    def extract_subseq(self, fwd_begin: int, fwd_end: int) -> str:
+        """Decode [begin, end) of the concatenated forward text, holes
+        re-overlaid (reference: extract_reference_subseq, bwa.cpp:55-68)."""
+        from bioseqdb_tpu.seq.codec import CHAR_OF
+
+        out = CHAR_OF[self.pac[fwd_begin:fwd_end]].copy()
+        left = np.maximum(self.hole_offsets, fwd_begin)
+        right = np.minimum(self.hole_offsets + self.hole_lens, fwd_end)
+        for lo, hi, ch in zip(left, right, self.hole_chars):
+            if lo < hi:
+                out[lo - fwd_begin : hi - fwd_begin] = ch
+        return out.tobytes().decode("ascii")
+
+    # -- serialization ----------------------------------------------------
+
+    def save(self, path: str) -> None:
+        """Write as a directory of .npy arrays + a JSON manifest; arrays
+        are mmap-able at load (SURVEY.md §5 checkpoint/resume: the index
+        is a first-class serialized artifact, fixing the reference's
+        rebuild-per-call design, extension.cpp:326,359)."""
+        os.makedirs(path, exist_ok=True)
+        arrays = dict(
+            L2=self.L2, blocks=self.blocks, sa_sample=self.sa_sample,
+            pac=self.pac, ref_ids=self.ref_ids, ref_offsets=self.ref_offsets,
+            ref_lens=self.ref_lens, hole_offsets=self.hole_offsets,
+            hole_lens=self.hole_lens, hole_chars=self.hole_chars,
+        )
+        for name, arr in arrays.items():
+            np.save(os.path.join(path, name + ".npy"), arr)
+        meta = dict(
+            format_version=1, l_pac=self.l_pac, seq_len=self.seq_len,
+            primary=self.primary, sa_interval=self.sa_interval,
+            ref_names=self.ref_names,
+        )
+        with open(os.path.join(path, "meta.json"), "w") as fh:
+            json.dump(meta, fh)
+
+    @classmethod
+    def load(cls, path: str, mmap: bool = True) -> "FMIndex":
+        with open(os.path.join(path, "meta.json")) as fh:
+            meta = json.load(fh)
+        mode = "r" if mmap else None
+        ld = lambda name: np.load(os.path.join(path, name + ".npy"), mmap_mode=mode)
+        return cls(
+            l_pac=meta["l_pac"], seq_len=meta["seq_len"],
+            primary=meta["primary"], sa_interval=meta["sa_interval"],
+            ref_names=list(meta["ref_names"]),
+            L2=np.asarray(ld("L2")), blocks=ld("blocks"),
+            sa_sample=ld("sa_sample"), pac=ld("pac"), ref_ids=ld("ref_ids"),
+            ref_offsets=ld("ref_offsets"), ref_lens=ld("ref_lens"),
+            hole_offsets=ld("hole_offsets"), hole_lens=ld("hole_lens"),
+            hole_chars=ld("hole_chars"),
+        )
+
+
+def _pack_blocks(stored: np.ndarray) -> np.ndarray:
+    """Interleave Occ checkpoints + packed words for the stored BWT."""
+    n = stored.shape[0]
+    n_blocks = n // OCC_BLOCK + 1
+    padded = np.zeros(n_blocks * OCC_BLOCK, dtype=np.uint8)
+    padded[:n] = stored
+    by_block = padded.reshape(n_blocks, OCC_BLOCK)
+    # per-block symbol counts -> exclusive cumulative checkpoints
+    counts = np.zeros((n_blocks, 4), dtype=np.int64)
+    # padding bases (code 0) beyond n must not contaminate checkpoints;
+    # they sit in the final block only, after every checkpoint, so plain
+    # counting is safe for the cumulative (exclusive) sums.
+    for c in range(4):
+        counts[:, c] = (by_block == c).sum(axis=1)
+    ckpt = np.zeros((n_blocks, 4), dtype=np.int64)
+    ckpt[1:] = np.cumsum(counts, axis=0)[:-1]
+    # (padding bases live only in the final block, after every checkpoint,
+    # so the exclusive sums are unaffected by them)
+    # pack 16 bases/word, big-endian within word
+    shifts = (2 * (15 - np.arange(16, dtype=np.uint64))).astype(np.uint64)
+    grp = by_block.reshape(n_blocks, WORDS_PER_BLOCK, 16).astype(np.uint64)
+    words = (grp << shifts[None, None, :]).sum(axis=2).astype(np.uint32)
+    out = np.empty((n_blocks, BLOCK_COLS), dtype=np.int32)
+    out[:, :4] = ckpt.astype(np.uint32).view(np.int32).reshape(n_blocks, 4)
+    out[:, 4:] = words.view(np.int32)
+    return out
+
+
+def build_fmindex_from_codes(
+    pac: np.ndarray,
+    ref_ids=None,
+    ref_names=None,
+    ref_offsets=None,
+    ref_lens=None,
+    hole_offsets=None,
+    hole_lens=None,
+    hole_chars=None,
+    sa_interval: int = SA_INTERVAL,
+) -> FMIndex:
+    """Build the index from concatenated forward 2-bit codes.
+
+    Mirrors BwaIndex::build (bwa.cpp:107-128): doubles the text with its
+    reverse complement, computes the suffix array (native SA-IS), then
+    derives stored BWT, interleaved Occ blocks, and the sampled SA.
+    """
+    pac = np.ascontiguousarray(pac, dtype=np.uint8)
+    L = int(pac.shape[0])
+    n = 2 * L
+    if n + 1 >= 2**31:
+        raise NotImplementedError(
+            "single-shard index limited to 2^31 doubled bases; "
+            "use the interval-sharded builder for larger references"
+        )
+    S = np.concatenate([pac, (3 - pac)[::-1]])
+    sa = suffix_array(S)  # n+1 entries, sa[0] = n
+    primary = int(np.flatnonzero(sa == 0)[0])
+    # stored BWT: conceptual B minus the sentinel row
+    nz = sa[sa > 0]
+    stored = S[nz - 1]
+    L2 = np.zeros(5, dtype=np.int64)
+    L2[1:] = np.cumsum(np.bincount(S, minlength=4)[:4])
+    blocks = _pack_blocks(stored)
+    sa_sample = sa[::sa_interval].astype(sa.dtype).copy()
+    sa_sample[0] = -1  # bwa's sentinel trick (bwt_cal_sa)
+    mk = lambda x, dt: np.asarray(x if x is not None else [], dtype=dt)
+    n_refs_known = ref_names is not None
+    return FMIndex(
+        l_pac=L, seq_len=n, primary=primary, L2=L2, blocks=blocks,
+        sa_sample=sa_sample, pac=pac, sa_interval=sa_interval,
+        ref_ids=mk(ref_ids, np.int64),
+        ref_names=list(ref_names) if n_refs_known else ["0"],
+        ref_offsets=mk(ref_offsets if ref_offsets is not None else [0], np.int64),
+        ref_lens=mk(ref_lens if ref_lens is not None else [L], np.int64),
+        hole_offsets=mk(hole_offsets, np.int64),
+        hole_lens=mk(hole_lens, np.int64),
+        hole_chars=mk(hole_chars, np.uint8),
+    )
