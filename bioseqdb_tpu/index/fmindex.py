@@ -11,9 +11,14 @@ is a set of flat arrays laid out for TPU gathers:
   (16 bases/word, big-endian within the word). One row gather (48 B)
   serves a complete Occ query — the "occurrence-table checkpointing"
   layout of the north star.
-- ``sa_sample``: SA values at ranks ≡ 0 (mod 32), ``sample[0] = -1``
-  (the same arithmetic trick bwa uses so walks that wrap through the
-  sentinel resolve correctly).
+- ``sa_sample`` + ``sa_bits``: *position-sampled* suffix array. bwa
+  samples by rank (bwt_cal_sa), which leaves LF walks unbounded; here
+  ranks whose SA value ≡ 0 (mod interval) are marked in a bit-rank
+  structure instead, so every resolution walk terminates in at most
+  ``interval - 1`` LF steps — a fixed trip count for the device loop.
+  ``sa_bits`` int32[nb, 5] holds, per 128 ranks, an exclusive popcount
+  checkpoint + 4 mark words; ``sa_sample`` holds the SA values of
+  marked ranks in rank order.
 - annotations: per-reference offset/length tables replacing
   ``bntann1_t`` (without the ref-id-as-``char*`` hack of bwa.cpp:89,
   and with correct hole-offset rebasing — the reference's is buggy,
@@ -60,7 +65,8 @@ class FMIndex:
     primary: int               # conceptual rank of the suffix at position 0
     L2: np.ndarray             # int64[5] exclusive cumulative symbol counts of S
     blocks: np.ndarray         # int32[n_blocks, 12] interleaved Occ + packed BWT
-    sa_sample: np.ndarray      # int(32|64)[ceil((n+1)/32)], sample[0] = -1
+    sa_sample: np.ndarray      # int32[n_marked] SA values of marked ranks, rank order
+    sa_bits: np.ndarray        # int32[nb, 5] mark bit-rank blocks (ckpt + 4 words)
     pac: np.ndarray            # uint8[l_pac] forward 2-bit codes (with hole filler)
     sa_interval: int = SA_INTERVAL
     # reference annotations (bntann1_t replacement)
@@ -171,14 +177,35 @@ class FMIndex:
         c = self.stored_code(j)
         return int(self.C[c]) + self.occB(c, r + 1) - 1
 
+    def sa_marked(self, r: int) -> bool:
+        """Whether rank r carries a sampled SA value (SA[r] % interval == 0)."""
+        word = int(self.sa_bits[r >> 7, 1 + ((r >> 5) & 3)])
+        return bool((word >> (r & 31)) & 1)
+
+    def sa_slot(self, r: int) -> int:
+        """Number of marked ranks before rank r (its sa_sample slot)."""
+        row = self.sa_bits[r >> 7]
+        cnt = int(row[0])
+        w = (r >> 5) & 3
+        for i in range(w):
+            cnt += bin(int(row[1 + i]) & 0xFFFFFFFF).count("1")
+        cnt += bin((int(row[1 + w]) & 0xFFFFFFFF) & ((1 << (r & 31)) - 1)).count("1")
+        return cnt
+
     def sa_at(self, r: int) -> int:
-        """Resolve the SA value of conceptual rank r via the sampled SA."""
+        """Resolve the SA value of conceptual rank r via the sampled SA.
+
+        Position sampling guarantees at most ``sa_interval - 1`` LF
+        steps: each step decrements the SA value by one, and every rank
+        whose SA value ≡ 0 (mod interval) is marked — including the
+        primary rank (SA = 0), so walks never wrap past the sentinel.
+        """
         steps = 0
         r = int(r)
-        while r % self.sa_interval != 0:
+        while not self.sa_marked(r):
             r = self.inv_psi(r)
             steps += 1
-        return int(self.sa_sample[r // self.sa_interval]) + steps
+        return int(self.sa_sample[self.sa_slot(r)]) + steps
 
     # -- coordinate mapping ----------------------------------------------
 
@@ -216,6 +243,7 @@ class FMIndex:
         os.makedirs(path, exist_ok=True)
         arrays = dict(
             L2=self.L2, blocks=self.blocks, sa_sample=self.sa_sample,
+            sa_bits=self.sa_bits,
             pac=self.pac, ref_ids=self.ref_ids, ref_offsets=self.ref_offsets,
             ref_lens=self.ref_lens, hole_offsets=self.hole_offsets,
             hole_lens=self.hole_lens, hole_chars=self.hole_chars,
@@ -241,11 +269,31 @@ class FMIndex:
             primary=meta["primary"], sa_interval=meta["sa_interval"],
             ref_names=list(meta["ref_names"]),
             L2=np.asarray(ld("L2")), blocks=ld("blocks"),
-            sa_sample=ld("sa_sample"), pac=ld("pac"), ref_ids=ld("ref_ids"),
+            sa_sample=ld("sa_sample"), sa_bits=ld("sa_bits"),
+            pac=ld("pac"), ref_ids=ld("ref_ids"),
             ref_offsets=ld("ref_offsets"), ref_lens=ld("ref_lens"),
             hole_offsets=ld("hole_offsets"), hole_lens=ld("hole_lens"),
             hole_chars=ld("hole_chars"),
         )
+
+
+def _pack_mark_bits(mark: np.ndarray) -> np.ndarray:
+    """Bit-rank blocks over the rank-mark bitvector: per 128 ranks, an
+    exclusive popcount checkpoint + 4 words (LSB-first bit order)."""
+    m = mark.shape[0]
+    nb = (m + 127) // 128
+    padded = np.zeros(nb * 128, dtype=bool)
+    padded[:m] = mark
+    bits = padded.reshape(nb, 4, 32)
+    weights = (1 << np.arange(32, dtype=np.uint64))
+    words = (bits.astype(np.uint64) * weights[None, None, :]).sum(axis=2)
+    counts = bits.sum(axis=(1, 2))
+    ckpt = np.zeros(nb, dtype=np.int64)
+    ckpt[1:] = np.cumsum(counts)[:-1]
+    out = np.empty((nb, 5), dtype=np.int32)
+    out[:, 0] = ckpt.astype(np.uint32).view(np.int32)
+    out[:, 1:] = words.astype(np.uint32).view(np.int32).reshape(nb, 4)
+    return out
 
 
 def _pack_blocks(stored: np.ndarray) -> np.ndarray:
@@ -310,13 +358,16 @@ def build_fmindex_from_codes(
     L2 = np.zeros(5, dtype=np.int64)
     L2[1:] = np.cumsum(np.bincount(S, minlength=4)[:4])
     blocks = _pack_blocks(stored)
-    sa_sample = sa[::sa_interval].astype(sa.dtype).copy()
-    sa_sample[0] = -1  # bwa's sentinel trick (bwt_cal_sa)
+    # position-sampled SA: mark ranks whose SA value is a multiple of the
+    # interval; bounds every LF resolution walk at interval-1 steps
+    mark = (sa % sa_interval) == 0
+    sa_sample = sa[mark].astype(np.int32)
+    sa_bits = _pack_mark_bits(mark)
     mk = lambda x, dt: np.asarray(x if x is not None else [], dtype=dt)
     n_refs_known = ref_names is not None
     return FMIndex(
         l_pac=L, seq_len=n, primary=primary, L2=L2, blocks=blocks,
-        sa_sample=sa_sample, pac=pac, sa_interval=sa_interval,
+        sa_sample=sa_sample, sa_bits=sa_bits, pac=pac, sa_interval=sa_interval,
         ref_ids=mk(ref_ids, np.int64),
         ref_names=list(ref_names) if n_refs_known else ["0"],
         ref_offsets=mk(ref_offsets if ref_offsets is not None else [0], np.int64),

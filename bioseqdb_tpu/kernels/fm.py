@@ -1,0 +1,236 @@
+"""Batched FM-index operations on device (JAX).
+
+The device-side counterpart of index/fmindex.py's scalar reference
+queries — every function here must agree with it bit-for-bit
+(tests/test_fm_device.py). This is where the reference's per-read
+``bwt_occ``/``bwt_2occ4`` pointer-chasing (libbwa, consumed at
+bwa.cpp:149) becomes TPU-shaped work: one 48-byte row gather from the
+interleaved ``blocks`` array per rank query, then vectorized 2-bit
+popcounts on the VPU, batched over thousands of read lanes.
+
+All arrays are int32 (single-shard indices cap at 2^31 doubled bases;
+human-scale sharding splits by BWT interval instead — SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bioseqdb_tpu.index.fmindex import OCC_BLOCK, FMIndex
+
+# mask of the first v bases of a packed big-endian word, v in [0, 16]
+_MASK_TABLE = np.zeros(17, dtype=np.uint32)
+for _v in range(17):
+    _MASK_TABLE[_v] = (0x55555555 << (2 * (16 - _v))) & 0xFFFFFFFF if _v else 0
+
+_LOG2_OCC_BLOCK = 7
+assert OCC_BLOCK == 1 << _LOG2_OCC_BLOCK
+
+
+class FMDevice(NamedTuple):
+    """FM-index arrays resident on device. A pytree of jnp arrays."""
+
+    L2: jnp.ndarray          # (5,) int32
+    primary: jnp.ndarray     # () int32
+    blocks: jnp.ndarray      # (n_blocks, 12) int32
+    sa_sample: jnp.ndarray   # (n_marked,) int32 SA values of marked ranks
+    sa_bits: jnp.ndarray     # (nb, 5) int32 mark bit-rank blocks
+    ref_offsets: jnp.ndarray # (n_refs,) int32
+    ref_lens: jnp.ndarray    # (n_refs,) int32
+    l_pac: jnp.ndarray       # () int32
+    seq_len: jnp.ndarray     # () int32
+
+    @classmethod
+    def from_host(cls, idx: FMIndex, device=None) -> "FMDevice":
+        put = lambda x: jax.device_put(jnp.asarray(np.asarray(x), jnp.int32), device)
+        return cls(
+            L2=put(idx.L2),
+            primary=put(idx.primary),
+            blocks=put(idx.blocks),
+            sa_sample=put(idx.sa_sample),
+            sa_bits=put(idx.sa_bits),
+            ref_offsets=put(idx.ref_offsets),
+            ref_lens=put(idx.ref_lens),
+            l_pac=put(idx.l_pac),
+            seq_len=put(idx.seq_len),
+        )
+
+
+def _row_counts(row: jnp.ndarray, c: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
+    """Count code ``c`` within the first ``r`` bases of a gathered block row.
+
+    row: (..., 12) int32; c, r broadcastable to row[..., 0].shape.
+    """
+    words = jax.lax.bitcast_convert_type(row[..., 4:], jnp.uint32)  # (..., 8)
+    pat = (c.astype(jnp.uint32) * jnp.uint32(0x55555555))[..., None]
+    x = words ^ pat
+    y = ~(x | (x >> jnp.uint32(1))) & jnp.uint32(0x55555555)
+    v = jnp.clip(r[..., None] - 16 * jnp.arange(8, dtype=jnp.int32), 0, 16)
+    mask = jnp.asarray(_MASK_TABLE)[v]
+    return jax.lax.population_count(y & mask).sum(axis=-1).astype(jnp.int32)
+
+
+def occ_stored(fm: FMDevice, c: jnp.ndarray, j: jnp.ndarray) -> jnp.ndarray:
+    """Count of code c in the stored BWT prefix [0, j). Batched."""
+    blk = j >> _LOG2_OCC_BLOCK
+    r = j & (OCC_BLOCK - 1)
+    row = fm.blocks[blk]                       # (..., 12) gather
+    ckpt = jnp.take_along_axis(row[..., :4], c[..., None], axis=-1)[..., 0]
+    return ckpt + _row_counts(row, c, r)
+
+
+def occB(fm: FMDevice, c: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
+    """Count of code c in the conceptual BWT prefix B[0, r) (skips $)."""
+    return occ_stored(fm, c, r - (r > fm.primary).astype(jnp.int32))
+
+
+def occ4_stored(fm: FMDevice, j: jnp.ndarray) -> jnp.ndarray:
+    """Counts of all four codes in [0, j). Returns shape (..., 4)."""
+    blk = j >> _LOG2_OCC_BLOCK
+    r = j & (OCC_BLOCK - 1)
+    row = fm.blocks[blk]
+    cs = jnp.arange(4, dtype=jnp.int32)
+    cnt = _row_counts(row[..., None, :], jnp.broadcast_to(cs, j.shape + (4,)),
+                      r[..., None])
+    return row[..., :4] + cnt
+
+
+def occ4B(fm: FMDevice, r: jnp.ndarray) -> jnp.ndarray:
+    return occ4_stored(fm, r - (r > fm.primary).astype(jnp.int32))
+
+
+def backward_ext(fm: FMDevice, lo, hi, c):
+    """Extend pattern interval [lo, hi) by prepending code c. Batched."""
+    C = fm.L2[c] + 1
+    return C + occB(fm, c, lo), C + occB(fm, c, hi)
+
+
+def backward_search(fm: FMDevice, codes: jnp.ndarray, lens: jnp.ndarray):
+    """Exact-match intervals for a batch of reads.
+
+    codes: int32[B, W] (0..3 bases, >=4 ambiguous), lens: int32[B].
+    Returns (lo, hi) int32[B]; empty interval (0, 0) on no match or any
+    ambiguous base.
+    """
+    B, W = codes.shape
+    n1 = fm.seq_len + 1
+
+    def step(t, state):
+        lo, hi = state
+        # process column lens-1-t (right to left); masked when t >= lens
+        idx = jnp.clip(lens - 1 - t, 0, W - 1)
+        c = jnp.take_along_axis(codes, idx[:, None], axis=1)[:, 0]
+        active = (t < lens) & (lo < hi) & (c < 4)
+        c_safe = jnp.clip(c, 0, 3)
+        nlo, nhi = backward_ext(fm, lo, hi, c_safe)
+        bad = (t < lens) & (c >= 4)  # ambiguous base kills the match
+        lo = jnp.where(active, nlo, jnp.where(bad, 1, lo))
+        hi = jnp.where(active, nhi, jnp.where(bad, 1, hi))
+        return lo, hi
+
+    lo0 = jnp.zeros(B, jnp.int32)
+    hi0 = jnp.broadcast_to(n1.astype(jnp.int32), (B,))
+    lo, hi = jax.lax.fori_loop(0, W, step, (lo0, hi0))
+    empty = (hi <= lo) | (lens == 0)
+    return jnp.where(empty, 0, lo), jnp.where(empty, 0, hi)
+
+
+def fmd_extend_back(fm: FMDevice, k, l, s):
+    """FMD bi-interval backward extension for all 4 codes (batched).
+
+    k, l, s: int32[...]; returns (k4, l4, s4) of shape (..., 4) —
+    bi-intervals of c+P for each code c (bwa bwt_extend, is_back=1).
+    """
+    o1 = occ4B(fm, k)
+    o2 = occ4B(fm, k + s)
+    cnt = o2 - o1
+    k4 = (fm.L2[:4] + 1) + o1
+    dollar = ((k <= fm.primary) & (fm.primary < k + s)).astype(jnp.int32)
+    # l4[c] = l + dollar + sum_{c' > c} cnt[c']
+    suffix = jnp.cumsum(cnt[..., ::-1], axis=-1) - cnt[..., ::-1]
+    l4 = (l + dollar)[..., None] + suffix[..., ::-1]
+    return k4, l4, cnt
+
+
+def fmd_extend_fwd(fm: FMDevice, k, l, s):
+    """FMD forward extension: bi-intervals of P+c for each code c."""
+    k4, l4, s4 = fmd_extend_back(fm, l, k, s)
+    return l4[..., ::-1], k4[..., ::-1], s4[..., ::-1]
+
+
+def _sa_marked(fm: FMDevice, r: jnp.ndarray) -> jnp.ndarray:
+    """Whether ranks carry a sampled SA value (batched bit lookup)."""
+    row = fm.sa_bits[r >> 7]
+    words = jax.lax.bitcast_convert_type(row[..., 1:], jnp.uint32)
+    word = jnp.take_along_axis(words, ((r >> 5) & 3)[..., None], axis=-1)[..., 0]
+    return ((word >> (r & 31).astype(jnp.uint32)) & 1).astype(jnp.bool_)
+
+
+def _sa_slot(fm: FMDevice, r: jnp.ndarray) -> jnp.ndarray:
+    """Number of marked ranks before each rank (its sa_sample slot)."""
+    row = fm.sa_bits[r >> 7]
+    words = jax.lax.bitcast_convert_type(row[..., 1:], jnp.uint32)
+    w = (r >> 5) & 3
+    widx = jnp.arange(4, dtype=jnp.int32)
+    bits = (r & 31).astype(jnp.uint32)
+    # full words before w count entirely; word w counts bits below r&31
+    nbits = jnp.where(
+        widx < w[..., None], 32, jnp.where(widx == w[..., None], bits[..., None], 0)
+    ).astype(jnp.uint32)
+    # mask = (1 << nbits) - 1; clamp the shift so the unselected branch
+    # never shifts by >= 32 (undefined in XLA)
+    mask = jnp.where(nbits >= 32, jnp.uint32(0xFFFFFFFF),
+                     (jnp.uint32(1) << jnp.minimum(nbits, 31)) - jnp.uint32(1))
+    part = jax.lax.population_count(words & mask).sum(axis=-1).astype(jnp.int32)
+    return row[..., 0] + part
+
+
+def sa_resolve(fm: FMDevice, ranks: jnp.ndarray, sa_interval: int = 32) -> jnp.ndarray:
+    """Resolve conceptual ranks to doubled-text positions (batched).
+
+    With position-sampled SA the LF walk is bounded by ``sa_interval - 1``
+    steps, so this is a fixed-trip loop with lane masking — no
+    data-dependent shapes, TPU-friendly (SURVEY.md §7).
+    """
+    r = ranks.astype(jnp.int32)
+    steps = jnp.zeros_like(r)
+
+    def body(_, state):
+        r, steps = state
+        done = _sa_marked(fm, r)
+        # one-gather inv_psi: j = r - (r > primary); c = stored[j];
+        # LF = L2[c] + occ_stored(c, j) + 1
+        j = r - (r > fm.primary).astype(jnp.int32)
+        blk = j >> _LOG2_OCC_BLOCK
+        off = j & (OCC_BLOCK - 1)
+        row = fm.blocks[blk]
+        words = jax.lax.bitcast_convert_type(row[..., 4:], jnp.uint32)
+        word = jnp.take_along_axis(words, (off >> 4)[..., None], axis=-1)[..., 0]
+        c = ((word >> (2 * (15 - (off & 15))).astype(jnp.uint32)) & 3).astype(jnp.int32)
+        ckpt = jnp.take_along_axis(row[..., :4], c[..., None], axis=-1)[..., 0]
+        lf = fm.L2[c] + ckpt + _row_counts(row, c, off) + 1
+        nxt = jnp.where(r == fm.primary, 0, lf)
+        r = jnp.where(done, r, nxt)
+        steps = jnp.where(done, steps, steps + 1)
+        return r, steps
+
+    r, steps = jax.lax.fori_loop(0, sa_interval - 1, body, (r, steps))
+    return fm.sa_sample[_sa_slot(fm, r)] + steps
+
+
+def depos(fm: FMDevice, pos: jnp.ndarray, length) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Doubled-text position -> (forward position, is_reverse). Batched."""
+    is_rev = pos >= fm.l_pac
+    fwd = jnp.where(is_rev, fm.seq_len - pos - length, pos)
+    return fwd, is_rev
+
+
+def rid_of(fm: FMDevice, fwd_pos: jnp.ndarray) -> jnp.ndarray:
+    """Reference row index for forward positions (batched searchsorted)."""
+    return (
+        jnp.searchsorted(fm.ref_offsets, fwd_pos, side="right").astype(jnp.int32) - 1
+    )
