@@ -1,0 +1,126 @@
+"""Command-line interface.
+
+Covers both reference entry points with one tool:
+- ``index`` / ``align``: the engine proper (the role the SQL functions
+  nuclseq_search_bwa / nuclseq_multi_search_bwa played,
+  extension.cpp:311-378), bwa-style invocation.
+- ``import``: the bioseqdb-import analogue (bioseqdb-import/main.cpp) —
+  streams FASTA/FASTQ into packed .npz read-batch shards instead of one
+  libpq INSERT per sequence.
+
+Usage:
+    python -m bioseqdb_tpu index ref.fa -o ref.idx
+    python -m bioseqdb_tpu align ref.idx reads.fq -o out.sam
+    python -m bioseqdb_tpu import reads.fq -o shards/ --batch-size 65536
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def _cmd_index(args) -> int:
+    from bioseqdb_tpu.index.builder import build_index_from_fasta
+
+    t0 = time.time()
+    idx = build_index_from_fasta(args.fasta, sa_interval=args.sa_interval)
+    idx.save(args.output)
+    print(
+        f"[bioseqdb-tpu] indexed {idx.n_refs} sequence(s), {idx.l_pac} bases "
+        f"in {time.time() - t0:.2f}s -> {args.output}",
+        file=sys.stderr,
+    )
+    return 0
+
+
+def _cmd_align(args) -> int:
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    from bioseqdb_tpu.align.options import AlignOptions
+    from bioseqdb_tpu.align.pipeline import Aligner
+    from bioseqdb_tpu.index.fmindex import FMIndex
+    from bioseqdb_tpu.io.batch import pack_reads_from_file
+    from bioseqdb_tpu.sam.emit import emit_sam, sam_header
+
+    idx = FMIndex.load(args.index)
+    opts = AlignOptions(min_seed_len=args.min_seed_len)
+    aligner = Aligner.build(idx, opts)
+    out = open(args.output, "w") if args.output != "-" else sys.stdout
+    t0 = time.time()
+    n = 0
+    try:
+        out.write(sam_header(idx, program_args=" ".join(sys.argv[1:])))
+        for batch in pack_reads_from_file(args.reads, batch_size=args.batch_size):
+            results = aligner.align_batch(batch)
+            seqs = [batch.read_text(i) for i in range(batch.n)]
+            out.write(emit_sam(results, idx, seqs, batch.qualities, header=False))
+            n += batch.n
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    dt = time.time() - t0
+    print(
+        f"[bioseqdb-tpu] aligned {n} reads in {dt:.2f}s "
+        f"({n / max(dt, 1e-9):,.0f} reads/s)",
+        file=sys.stderr,
+    )
+    return 0
+
+
+def _cmd_import(args) -> int:
+    import numpy as np
+
+    from bioseqdb_tpu.io.batch import pack_reads_from_file
+
+    os.makedirs(args.output, exist_ok=True)
+    n = 0
+    for i, batch in enumerate(
+        pack_reads_from_file(args.reads, batch_size=args.batch_size)
+    ):
+        path = os.path.join(args.output, f"shard{i:05d}.npz")
+        np.savez_compressed(
+            path, codes=batch.codes, lens=batch.lens,
+            names=np.array(batch.names),
+        )
+        n += batch.n
+        print(f"[bioseqdb-tpu] wrote {path} ({batch.n} reads)", file=sys.stderr)
+    print(f"[bioseqdb-tpu] imported {n} reads", file=sys.stderr)
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="bioseqdb-tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("index", help="build an FM-index from FASTA")
+    pi.add_argument("fasta")
+    pi.add_argument("-o", "--output", required=True)
+    pi.add_argument("--sa-interval", type=int, default=32)
+    pi.set_defaults(fn=_cmd_index)
+
+    pa = sub.add_parser("align", help="align FASTA/FASTQ reads against an index")
+    pa.add_argument("index")
+    pa.add_argument("reads")
+    pa.add_argument("-o", "--output", default="-")
+    pa.add_argument("--batch-size", type=int, default=65536)
+    pa.add_argument("--min-seed-len", type=int, default=19)
+    pa.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    pa.set_defaults(fn=_cmd_align)
+
+    pm = sub.add_parser("import", help="pack reads into .npz shards (bulk ingest)")
+    pm.add_argument("reads")
+    pm.add_argument("-o", "--output", required=True)
+    pm.add_argument("--batch-size", type=int, default=65536)
+    pm.set_defaults(fn=_cmd_import)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,90 @@
+"""SAM emission.
+
+The finalize stage the reference delegates to htslib macros + the SQL
+tuplestore (bwa.cpp:70-77 cigar_compressed_to_string; extension.cpp:282-305
+build_tuple_bwa). Emits SAM 1.6 text records; the correctness gate is
+record equality against the CPU oracle on the staged configs
+(BASELINE.md).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from bioseqdb_tpu.align.result import Hit, ReadResult
+from bioseqdb_tpu.index.fmindex import FMIndex
+
+FLAG_UNMAPPED = 0x4
+FLAG_REVERSE = 0x10
+FLAG_SECONDARY = 0x100  # BAM_FSECONDARY — bwa.cpp:169-170
+
+_COMP = str.maketrans("ACGTNWSMKRYBDHV", "TGCANWSKMYRVHDB")
+
+
+def revcomp(seq: str) -> str:
+    return seq.translate(_COMP)[::-1]
+
+
+def sam_header(index: FMIndex, program_args: str = "") -> str:
+    lines = ["@HD\tVN:1.6\tSO:unsorted"]
+    for name, length in zip(index.ref_names, index.ref_lens):
+        lines.append(f"@SQ\tSN:{name}\tLN:{int(length)}")
+    pg = "@PG\tID:bioseqdb-tpu\tPN:bioseqdb-tpu\tVN:0.1.0"
+    if program_args:
+        pg += f"\tCL:{program_args}"
+    lines.append(pg)
+    return "\n".join(lines) + "\n"
+
+
+def hit_flag(hit: Hit) -> int:
+    flag = 0
+    if hit.is_reverse:
+        flag |= FLAG_REVERSE
+    if hit.is_secondary:
+        flag |= FLAG_SECONDARY
+    return flag
+
+
+def sam_record(result: ReadResult, hit: Hit | None, seq: str,
+               qual: str | None = None) -> str:
+    """One SAM line. ``hit=None`` emits the unmapped record."""
+    qual = qual or "*"
+    if hit is None:
+        return "\t".join([
+            result.query_name, str(FLAG_UNMAPPED), "*", "0", "0", "*",
+            "*", "0", "0", seq, qual,
+        ])
+    flag = hit_flag(hit)
+    out_seq = revcomp(seq) if hit.is_reverse else seq
+    out_qual = qual if qual == "*" else (qual[::-1] if hit.is_reverse else qual)
+    if hit.is_secondary:
+        out_seq, out_qual = "*", "*"
+    fields = [
+        result.query_name,
+        str(flag),
+        hit.ref_name,
+        str(hit.ref_begin + 1),  # SAM POS is 1-based
+        str(hit.mapq),
+        hit.cigar,
+        "*", "0", "0",
+        out_seq,
+        out_qual,
+        f"AS:i:{hit.score}",
+        f"NM:i:{getattr(hit, 'nm', 0)}",
+    ]
+    return "\t".join(fields)
+
+
+def emit_sam(results: Iterable[ReadResult], index: FMIndex, seqs: list[str],
+             quals: list[str] | None = None, header: bool = True,
+             program_args: str = "") -> str:
+    """Render results to SAM text. ``seqs[i]`` is read i's original text."""
+    out = [sam_header(index, program_args)] if header else []
+    for i, res in enumerate(results):
+        q = quals[i] if quals else None
+        if not res.hits:
+            out.append(sam_record(res, None, seqs[i], q) + "\n")
+            continue
+        for hit in res.hits:
+            out.append(sam_record(res, hit, seqs[i], q) + "\n")
+    return "".join(out)
