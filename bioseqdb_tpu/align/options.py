@@ -37,6 +37,7 @@ class AlignOptions:
     chain_drop_ratio: float = 0.5  # mem_opt_t.drop_ratio
     min_chain_weight: int = 0
     mask_level: float = 0.5
+    mask_level_redun: float = 0.95
     xa_drop_ratio: float = 0.8   # mem_opt_t.XA_drop_ratio
     max_matesw: int = 50
 
