@@ -129,7 +129,9 @@ def ksw_extend(
         h[end] = h1
         e[end] = 0
         if end == qlen:  # reached the query end: track to-end score
-            if gscore < h1:
+            # ties update max_ie (the later row wins), matching the
+            # reference kernel's `gscore > h1 ? keep : update`
+            if gscore <= h1:
                 max_ie, gscore = i, h1
         if m_best == 0:
             break
