@@ -1,0 +1,320 @@
+"""Batched SMEM seeding on device.
+
+The device counterpart of the oracle's three seeding rounds
+(cpu/oracle.py collect_intv == bwa's mem_collect_intv feeding
+mem_align1, reference bwa.cpp:149). Each read is a lane running a small
+state machine (pivot selection / forward pass / backward pass / re-seed
+/ LAST-like pass); every global iteration performs exactly one batched
+FMD extension — two occ4 row gathers across all lanes — so the
+irregular per-read control flow costs control-overhead only, while the
+memory traffic stays perfectly batched (SURVEY.md §7).
+
+State sizes are compile-time caps tuned for short reads (<= ~300 bp):
+``P`` candidate intervals per pass and ``M`` output seeds per read; the
+``overflow`` output flags any read that exceeded them (callers fall
+back to the host oracle for those — none in practice for 151 bp reads).
+
+Must agree exactly with the oracle's collect_intv (tests/test_seed_device.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from bioseqdb_tpu.kernels import fm as kfm
+
+# phases
+PH_PIVOT = 0   # choose the next pivot / round transition
+PH_FWD = 1     # forward pass of smem1
+PH_BWD = 2     # backward pass of smem1
+PH_R3 = 3      # bwt_seed_strategy1 forward scan
+PH_DONE = 4
+
+# rounds
+RD_SMEM = 0    # round 1: SMEMs
+RD_RESEED = 1  # round 2: re-seed long low-occ SMEMs
+RD_LAST = 2    # round 3: LAST-like seeds
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("min_seed_len", "split_width", "max_mem_intv", "split_len",
+                     "max_cand", "max_mem"),
+)
+def collect_seeds_device(
+    fm: kfm.FMDevice,
+    codes: jnp.ndarray,   # int32[B, W] 0..3 bases, >=4 ambiguous/padding
+    lens: jnp.ndarray,    # int32[B]
+    min_seed_len: int,
+    split_len: int,
+    split_width: int,
+    max_mem_intv: int,
+    max_cand: int = 24,
+    max_mem: int = 48,
+):
+    """Run all three seeding rounds for a batch of reads.
+
+    Returns dict with
+      mems:  int32[B, max_mem, 5] — (k, l, s, start, end) per seed
+      n_mem: int32[B]
+      overflow: bool[B] — candidate/output caps exceeded (fall back to host)
+    """
+    B, W = codes.shape
+    P, M = max_cand, max_mem
+    i32 = jnp.int32
+
+    st = dict(
+        phase=jnp.zeros(B, i32),
+        round=jnp.zeros(B, i32),
+        x=jnp.zeros(B, i32),                      # pivot
+        i=jnp.zeros(B, i32),                      # scan position
+        ik=jnp.zeros((B, 3), i32),                # current bi-interval
+        ik_end=jnp.zeros(B, i32),
+        cand=jnp.zeros((B, P, 4), i32),           # forward candidates (k,l,s,end)
+        n_cand=jnp.zeros(B, i32),
+        prev=jnp.zeros((B, P, 4), i32),
+        n_prev=jnp.zeros(B, i32),
+        curr=jnp.zeros((B, P, 4), i32),
+        n_curr=jnp.zeros(B, i32),
+        j=jnp.zeros(B, i32),                      # index into prev
+        ret=jnp.zeros(B, i32),                    # next pivot after smem1
+        min_intv=jnp.ones(B, i32),                # per-lane (round 2 overrides)
+        mems=jnp.zeros((B, M, 5), i32),
+        n_mem=jnp.zeros(B, i32),
+        n_mem_r1=jnp.zeros(B, i32),               # count after round 1
+        r2i=jnp.zeros(B, i32),                    # round-2 source mem index
+        last_start=jnp.full(B, W + 1, i32),       # containment check state
+        overflow=jnp.zeros(B, jnp.bool_),
+    )
+    # lanes with no bases never run
+    st["phase"] = jnp.where(lens > 0, PH_PIVOT, PH_DONE)
+
+    def qat(pos):
+        safe = jnp.clip(pos, 0, W - 1)
+        return jnp.take_along_axis(codes, safe[:, None], axis=1)[:, 0]
+
+    def set_intv(c):
+        c = jnp.clip(c, 0, 3)
+        k = fm.L2[c] + 1
+        l = fm.L2[3 - c] + 1
+        s = (fm.L2[c + 1] - fm.L2[c]).astype(i32)
+        return jnp.stack([k, l, s], axis=-1).astype(i32)
+
+    def push_row(buf, n, row, do):
+        """Append `row` to per-lane buffer where `do`; returns new buf, n, ovf."""
+        cap = buf.shape[1]
+        ovf = do & (n >= cap)
+        write = do & ~ovf
+        slot = jnp.minimum(n, cap - 1)
+        cur = buf[jnp.arange(B), slot]
+        val = jnp.where(write[:, None], row, cur)
+        buf = buf.at[jnp.arange(B), slot].set(val)
+        n = n + write.astype(i32)
+        return buf, n, ovf
+
+    def cond(st):
+        return jnp.any(st["phase"] != PH_DONE)
+
+    def body(st):
+        phase = st["phase"]
+        rnd = st["round"]
+        x, i, j = st["x"], st["i"], st["j"]
+        qx = qat(x)
+        qi = qat(i)
+        in_fwd = phase == PH_FWD
+        in_bwd = phase == PH_BWD
+        in_r3 = phase == PH_R3
+
+        # ---- the one batched FMD extension everybody shares ----
+        # forward lanes extend st.ik (or r3 ik) forward by q[i];
+        # backward lanes extend prev[j] backward by q[i] (prev is stored
+        # longest-first: reversed once at the fwd->bwd transition)
+        bwd_iv = st["prev"][jnp.arange(B), jnp.clip(j, 0, P - 1)]  # (B, 4)
+        src_k = jnp.where(in_bwd, bwd_iv[:, 0], st["ik"][:, 0])
+        src_l = jnp.where(in_bwd, bwd_iv[:, 1], st["ik"][:, 1])
+        src_s = jnp.where(in_bwd, bwd_iv[:, 2], st["ik"][:, 2])
+        # unify: fwd == back on the (l, k) swap + code flip
+        a = jnp.where(in_bwd, src_k, src_l)
+        b = jnp.where(in_bwd, src_l, src_k)
+        k4, l4, s4 = kfm.fmd_extend_back(fm, a, b, jnp.maximum(src_s, 0))
+        c_raw = qi
+        c_ext = jnp.where(in_bwd, c_raw, 3 - c_raw)
+        c_sel = jnp.clip(c_ext, 0, 3)[:, None]
+        ok_k = jnp.take_along_axis(jnp.where(in_bwd[:, None], k4, l4), c_sel, 1)[:, 0]
+        ok_l = jnp.take_along_axis(jnp.where(in_bwd[:, None], l4, k4), c_sel, 1)[:, 0]
+        ok_s = jnp.take_along_axis(s4, c_sel, 1)[:, 0]
+
+        new = dict(st)
+
+        # ============== PH_PIVOT ==============
+        at_pivot = phase == PH_PIVOT
+        L = lens
+        # round transitions when the scan is exhausted
+        r1_done = at_pivot & (rnd == RD_SMEM) & (x >= L)
+        # round 2 iterates over round-1 mems
+        to_r2 = r1_done
+        new["round"] = jnp.where(to_r2, RD_RESEED, new["round"])
+        new["n_mem_r1"] = jnp.where(to_r2, st["n_mem"], st["n_mem_r1"])
+        new["r2i"] = jnp.where(to_r2, 0, st["r2i"])
+
+        at_r2 = at_pivot & (new["round"] == RD_RESEED)
+        r2_src = st["mems"][jnp.arange(B), jnp.clip(st["r2i"], 0, M - 1)]
+        r2_len = r2_src[:, 4] - r2_src[:, 3]
+        r2_eligible = (r2_len >= split_len) & (r2_src[:, 2] <= split_width)
+        r2_exhausted = at_r2 & (st["r2i"] >= new["n_mem_r1"])
+        r2_skip = at_r2 & ~r2_exhausted & ~r2_eligible
+        r2_go = at_r2 & ~r2_exhausted & r2_eligible
+        new["r2i"] = jnp.where(r2_skip, st["r2i"] + 1, new["r2i"])
+
+        # round 3 start
+        to_r3 = r2_exhausted
+        new["round"] = jnp.where(to_r3, RD_LAST, new["round"])
+        new["x"] = jnp.where(to_r3, 0, new["x"])
+        at_r3p = at_pivot & (new["round"] == RD_LAST)
+        r3_off = at_r3p & ((max_mem_intv <= 0) | (new["x"] >= L))
+        new["phase"] = jnp.where(r3_off, PH_DONE, new["phase"])
+
+        # round-1 pivot handling
+        p1 = at_pivot & (rnd == RD_SMEM) & (x < L)
+        amb1 = p1 & (qx >= 4)
+        new["x"] = jnp.where(amb1, x + 1, new["x"])
+        go1 = p1 & (qx < 4)
+        # round-2 pivot: x = (start+end)>>1, min_intv = s+1
+        go2 = r2_go
+        piv2 = (r2_src[:, 3] + r2_src[:, 4]) >> 1
+        new["x"] = jnp.where(go2, piv2, new["x"])
+        new["min_intv"] = jnp.where(go2, r2_src[:, 2] + 1, jnp.where(go1, 1, st["min_intv"]))
+        go = go1 | go2
+        qpiv = qat(new["x"])
+        piv_amb2 = go2 & (qpiv >= 4)  # re-seed pivot on an N: skip it
+        new["r2i"] = jnp.where(piv_amb2, st["r2i"] + 1, new["r2i"])
+        go = go & ~piv_amb2
+        new["ik"] = jnp.where(go[:, None], set_intv(qpiv), new["ik"])
+        new["ik_end"] = jnp.where(go, new["x"] + 1, st["ik_end"])
+        new["i"] = jnp.where(go, new["x"] + 1, new["i"])
+        new["n_cand"] = jnp.where(go, 0, st["n_cand"])
+        new["phase"] = jnp.where(go, PH_FWD, new["phase"])
+
+        # round-3 pivot handling
+        p3 = at_r3p & ~r3_off & (max_mem_intv > 0)
+        amb3 = p3 & (qat(new["x"]) >= 4)
+        new["x"] = jnp.where(amb3, new["x"] + 1, new["x"])
+        go3 = p3 & ~amb3
+        q3 = qat(new["x"])
+        new["ik"] = jnp.where(go3[:, None], set_intv(q3), new["ik"])
+        new["i"] = jnp.where(go3, new["x"] + 1, new["i"])
+        new["phase"] = jnp.where(go3, PH_R3, new["phase"])
+
+        # ============== PH_FWD ==============
+        # (uses this step's extension result)
+        fwd_end_of_read = in_fwd & (i >= L)
+        fwd_amb = in_fwd & (i < L) & (qi >= 4)
+        fwd_ext = in_fwd & (i < L) & (qi < 4)
+        ik_row = jnp.concatenate([st["ik"], st["ik_end"][:, None]], axis=1)
+        # push current ik when: end-of-read, ambiguous, or size change
+        size_change = fwd_ext & (ok_s != st["ik"][:, 2])
+        push_fwd = fwd_end_of_read | fwd_amb | size_change
+        new["cand"], new["n_cand"], ovf1 = push_row(
+            new["cand"], new["n_cand"], ik_row, push_fwd
+        )
+        new["overflow"] = st["overflow"] | ovf1
+        drop_below = size_change & (ok_s < st["min_intv"])
+        adv = fwd_ext & ~drop_below
+        new["ik"] = jnp.where(
+            adv[:, None], jnp.stack([ok_k, ok_l, ok_s], axis=1), new["ik"]
+        )
+        new["ik_end"] = jnp.where(adv, i + 1, new["ik_end"])
+        new["i"] = jnp.where(adv, i + 1, new["i"])
+        fwd_done = fwd_end_of_read | fwd_amb | drop_below
+        # transition to backward pass: prev := reverse(cand) so the
+        # backward loop visits longer candidates first (bwt_reverse_intvs)
+        pidx = jnp.clip(
+            new["n_cand"][:, None] - 1 - jnp.arange(P, dtype=i32)[None, :], 0, P - 1
+        )
+        rev_cand = jnp.take_along_axis(new["cand"], pidx[:, :, None], axis=1)
+        new["prev"] = jnp.where(fwd_done[:, None, None], rev_cand, st["prev"])
+        new["n_prev"] = jnp.where(fwd_done, new["n_cand"], st["n_prev"])
+        # ret (next round-1 pivot) = end of the longest candidate = last pushed
+        lastc = jnp.clip(new["n_cand"] - 1, 0, P - 1)
+        new["ret"] = jnp.where(
+            fwd_done, new["cand"][jnp.arange(B), lastc, 3], st["ret"]
+        )
+        new["i"] = jnp.where(fwd_done, x - 1, new["i"])
+        new["j"] = jnp.where(fwd_done, 0, st["j"])
+        new["n_curr"] = jnp.where(fwd_done, 0, st["n_curr"])
+        new["last_start"] = jnp.where(fwd_done, W + 1, st["last_start"])
+        new["phase"] = jnp.where(fwd_done, PH_BWD, new["phase"])
+
+        # ============== PH_BWD ==============
+        bw_i = i  # current backward position (may be -1)
+        c_ok = in_bwd & (bw_i >= 0) & (qat(bw_i) < 4)
+        p_iv = bwd_iv  # prev entry being processed (k, l, s, end)
+        fail = in_bwd & (~c_ok | (c_ok & (ok_s < st["min_intv"])))
+        emit = fail & (st["n_curr"] == 0) & (bw_i + 1 < st["last_start"])
+        # round filters: emit only seeds meeting the round's length rule
+        slen = p_iv[:, 3] - (bw_i + 1)
+        emit = emit & (slen >= min_seed_len)
+        mem_row = jnp.stack(
+            [p_iv[:, 0], p_iv[:, 1], p_iv[:, 2], bw_i + 1, p_iv[:, 3]], axis=1
+        )
+        new["mems"], new["n_mem"], ovf2 = push_row(
+            new["mems"], new["n_mem"], mem_row, emit
+        )
+        new["overflow"] = new["overflow"] | ovf2
+        new["last_start"] = jnp.where(emit, bw_i + 1, new["last_start"])
+        # grow curr when extension survives and size differs from last pushed
+        keep = in_bwd & c_ok & (ok_s >= st["min_intv"])
+        lastq = jnp.clip(st["n_curr"] - 1, 0, P - 1)
+        last_s = st["curr"][jnp.arange(B), lastq, 2]
+        distinct = (st["n_curr"] == 0) | (ok_s != last_s)
+        push_bwd = keep & distinct
+        curr_row = jnp.stack([ok_k, ok_l, ok_s, p_iv[:, 3]], axis=1)
+        new["curr"], new["n_curr"], ovf3 = push_row(
+            new["curr"], new["n_curr"], curr_row, push_bwd
+        )
+        new["overflow"] = new["overflow"] | ovf3
+        nj = j + 1
+        row_done = in_bwd & (nj >= st["n_prev"])
+        new["j"] = jnp.where(in_bwd, jnp.where(row_done, 0, nj), new["j"])
+        bwd_finished = row_done & (new["n_curr"] == 0)
+        cont = row_done & ~bwd_finished
+        new["prev"] = jnp.where(cont[:, None, None], new["curr"], new["prev"])
+        new["n_prev"] = jnp.where(cont, new["n_curr"], new["n_prev"])
+        new["n_curr"] = jnp.where(cont, 0, new["n_curr"])
+        new["i"] = jnp.where(cont, bw_i - 1, new["i"])
+        # (when i reaches -1 the whole row fails with c < 0: curr stays
+        # empty, so bwd_finished fires — no separate exit needed)
+        new["phase"] = jnp.where(bwd_finished, PH_PIVOT, new["phase"])
+        # round 1: advance pivot to ret; round 2: next source mem
+        new["x"] = jnp.where(bwd_finished & (rnd == RD_SMEM), st["ret"], new["x"])
+        new["r2i"] = jnp.where(
+            bwd_finished & (rnd == RD_RESEED), st["r2i"] + 1, new["r2i"]
+        )
+
+        # ============== PH_R3 ==============
+        r3_end = in_r3 & (i >= L)
+        r3_amb = in_r3 & (i < L) & (qi >= 4)
+        r3_ext = in_r3 & (i < L) & (qi < 4)
+        hit = r3_ext & (ok_s < max_mem_intv) & ((i - x) >= min_seed_len)
+        emit3 = hit & (ok_s > 0)
+        mem3 = jnp.stack([ok_k, ok_l, ok_s, x, i + 1], axis=1)
+        new["mems"], new["n_mem"], ovf4 = push_row(
+            new["mems"], new["n_mem"], mem3, emit3
+        )
+        new["overflow"] = new["overflow"] | ovf4
+        r3_stop = r3_end | r3_amb | hit
+        new["x"] = jnp.where(r3_stop & in_r3, jnp.where(r3_end, L, i + 1), new["x"])
+        new["phase"] = jnp.where(r3_stop, PH_PIVOT, new["phase"])
+        keep3 = r3_ext & ~hit
+        new["ik"] = jnp.where(
+            keep3[:, None], jnp.stack([ok_k, ok_l, ok_s], axis=1), new["ik"]
+        )
+        new["i"] = jnp.where(keep3, i + 1, new["i"])
+
+        return new
+
+    st = jax.lax.while_loop(cond, body, st)
+    return dict(mems=st["mems"], n_mem=st["n_mem"], overflow=st["overflow"])

@@ -1,0 +1,127 @@
+"""Device SMEM seeding must agree exactly with the oracle's collect_intv."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from bioseqdb_tpu.align.options import AlignOptions
+from bioseqdb_tpu.cpu import oracle as O
+from bioseqdb_tpu.index.builder import build_index
+from bioseqdb_tpu.kernels import fm as kfm
+from bioseqdb_tpu.kernels.seed import collect_seeds_device
+from bioseqdb_tpu.utils.sim import simulate_genome, simulate_reads
+
+
+@pytest.fixture(scope="module")
+def setup():
+    g = simulate_genome(30_000, seed=11)
+    idx = build_index([("ref", g)])
+    return g, idx, kfm.FMDevice.from_host(idx)
+
+
+LUT = np.zeros(256, np.uint8)
+for _i, _c in enumerate(b"ACGT"):
+    LUT[_c] = _i
+LUT[ord("N")] = 4
+
+
+def enc(s):
+    return LUT[np.frombuffer(s.encode(), np.uint8)]
+
+
+def device_seeds(fm, reads_codes, opt, W=160):
+    B = len(reads_codes)
+    codes = np.full((B, W), 4, np.int32)
+    lens = np.zeros(B, np.int32)
+    for i, rc in enumerate(reads_codes):
+        codes[i, : len(rc)] = rc
+        lens[i] = len(rc)
+    split_len = int(opt.min_seed_len * opt.reseed_factor + 0.499)
+    out = collect_seeds_device(
+        fm, jnp.asarray(codes), jnp.asarray(lens),
+        min_seed_len=opt.min_seed_len, split_len=split_len,
+        split_width=opt.split_width, max_mem_intv=opt.max_mem_intv,
+    )
+    return {k: np.asarray(v) for k, v in out.items()}
+
+
+def oracle_seeds(idx, rc, opt):
+    mems, _ = O.collect_intv(idx, opt, rc)
+    return sorted((m.start, m.end, m.k, m.l, m.s) for m in mems)
+
+
+def compare(idx, fm, reads_codes, opt):
+    got = device_seeds(fm, reads_codes, opt)
+    assert not got["overflow"].any()
+    for i, rc in enumerate(reads_codes):
+        n = got["n_mem"][i]
+        dev = sorted(
+            (int(r[3]), int(r[4]), int(r[0]), int(r[1]), int(r[2]))
+            for r in got["mems"][i, :n]
+        )
+        want = oracle_seeds(idx, rc, opt)
+        assert dev == want, (i, dev, want)
+
+
+def test_exact_reads(setup):
+    g, idx, fm = setup
+    sim = simulate_reads(g, 16, read_len=100, seed=1)
+    compare(idx, fm, [enc(r) for r in sim.reads], AlignOptions())
+
+
+def test_mismatched_reads(setup):
+    g, idx, fm = setup
+    sim = simulate_reads(g, 24, read_len=150, sub_rate=0.04, seed=2)
+    compare(idx, fm, [enc(r) for r in sim.reads], AlignOptions())
+
+
+def test_reads_with_ns(setup):
+    g, idx, fm = setup
+    sim = simulate_reads(g, 8, read_len=120, seed=3)
+    reads = []
+    rng = np.random.default_rng(4)
+    for r in sim.reads:
+        rc = enc(r)
+        for _ in range(int(rng.integers(1, 4))):
+            rc[int(rng.integers(0, len(rc)))] = 4
+        reads.append(rc)
+    compare(idx, fm, reads, AlignOptions())
+
+
+def test_random_junk_reads(setup):
+    g, idx, fm = setup
+    rng = np.random.default_rng(5)
+    reads = [rng.integers(0, 4, int(rng.integers(30, 150))).astype(np.uint8)
+             for _ in range(16)]
+    compare(idx, fm, reads, AlignOptions())
+
+
+def test_chimeric_reads(setup):
+    g, idx, fm = setup
+    reads = []
+    for a, b in [(1000, 9000), (2000, 20000), (4000, 15000)]:
+        reads.append(enc(g[a : a + 70] + g[b : b + 80]))
+    compare(idx, fm, reads, AlignOptions())
+
+
+def test_short_and_edge_reads(setup):
+    g, idx, fm = setup
+    reads = [
+        enc(g[:40]),                    # genome start
+        enc(g[-40:]),                   # genome end
+        enc(g[500:525]),                # just above min_seed_len
+        enc("ACGT" * 5),                # short, likely multi-hit
+        np.full(30, 4, np.uint8),       # all N: no seeds
+    ]
+    compare(idx, fm, reads, AlignOptions())
+
+
+def test_min_seed_1_matches_round1(setup):
+    # with min_seed_len=1 and rounds 2/3 off, output = pure SMEMs
+    g, idx, fm = setup
+    opt = AlignOptions(min_seed_len=1, max_mem_intv=0, reseed_factor=1.5,
+                      split_width=0)
+    rng = np.random.default_rng(6)
+    reads = [rng.integers(0, 4, 20).astype(np.uint8) for _ in range(8)]
+    compare(idx, fm, reads, opt)
