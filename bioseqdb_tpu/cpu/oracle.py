@@ -433,10 +433,11 @@ def chain2aln(
             rmax0 = l_pac
     rseq = get_dseq(idx, rmax0, rmax1)
 
-    # process seeds best-score-first (srt)
+    # process seeds best-score-first (srt order: descending score, ties
+    # broken toward the later seed, matching the reference's uint64 sort)
     srt = sorted(range(len(c.seeds)), key=lambda i: (c.seeds[i].score, i))
     srt.reverse()
-    done = [False] * len(c.seeds)
+    extended = [False] * len(c.seeds)
 
     for ki in range(len(srt)):
         sidx = srt[ki]
@@ -464,11 +465,14 @@ def chain2aln(
                 covered = p
                 break
         if covered is not None:
-            # skip extension unless an overlapping un-extended seed in the
-            # same chain suggests a different alignment
+            # the seed sits inside an existing region; still extend it if
+            # some already-extended overlapping seed of similar length lies
+            # on a different diagonal (the region may represent a different
+            # alignment than this seed's). Earlier srt entries = already
+            # processed; the reference marks skipped ones srt[i] = 0.
             need = False
-            for i2 in range(ki + 1, len(srt)):
-                if done[srt[i2]]:
+            for i2 in range(ki):
+                if not extended[srt[i2]]:
                     continue
                 t = c.seeds[srt[i2]]
                 if t.len < s.len * 0.95:
@@ -486,8 +490,7 @@ def chain2aln(
                     need = True
                     break
             if not need:
-                done[sidx] = True  # mark: extension not performed
-                continue
+                continue  # extension not performed for this seed
 
         a = AlnReg(rid=c.rid, frac_rep=c.frac_rep, seedlen0=s.len, w=opt.bandwidth)
         a.score = a.truesc = -1
@@ -555,7 +558,7 @@ def chain2aln(
             and t.rbeg >= a.rb and t.rbeg + t.len <= a.re
         )
         a.w = max(aw[0], aw[1])
-        done[sidx] = True
+        extended[sidx] = True
         regs.append(a)
 
 

@@ -1,0 +1,353 @@
+"""Batched seed resolution + chaining + chain filtering on device.
+
+Device counterparts of the oracle's mem_chain / chain_flt
+(cpu/oracle.py, bwa's mem_chain + mem_chain_flt). All stages are
+per-lane loops over compile-time-capped tables with fully vectorized
+bodies:
+
+- ``resolve_seeds``: sorts each read's seed intervals by (start, end)
+  (the reference sorts intervals before chaining), samples at most
+  ``max_occ`` positions per interval with bwa's stride rule, resolves
+  them through the position-sampled SA, and drops seeds bridging
+  reference/strand boundaries.
+- ``chain_seeds``: grows chains with the closest-chain test
+  (test_and_merge) — chains live in per-lane slot tables; the kbtree
+  lookup becomes a masked argmax over chain keys.
+- ``filter_chains``: chain weights + the shadowing filter, producing
+  kept flags (3 = primary, 2 = overlapped, 1 = promoted shadow) and a
+  weight-descending chain order.
+
+Caps: ``max_seeds`` seed slots and ``max_chains`` chain slots per read;
+overflow flags mark reads for host fallback.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from bioseqdb_tpu.kernels import fm as kfm
+
+NEG = jnp.int32(-(1 << 30))
+
+
+@functools.partial(jax.jit, static_argnames=("max_occ", "max_seeds"))
+def resolve_seeds(
+    fm: kfm.FMDevice,
+    mems: jnp.ndarray,    # int32[B, M, 5] (k, l, s, start, end)
+    n_mem: jnp.ndarray,   # int32[B]
+    max_occ: int,
+    max_seeds: int,
+):
+    """Expand seed intervals into located seeds.
+
+    Returns dict: rbeg/qbeg/len int32[B, S], rid int32[B, S],
+    valid bool[B, S], frac_rep-style rep length not included here.
+    Seed order matches the oracle: intervals ascending (start, end),
+    positions by sampled rank order within each interval.
+    """
+    B, M, _ = mems.shape
+    S = max_seeds
+    mm = jnp.arange(M, dtype=jnp.int32)[None, :]
+    live = mm < n_mem[:, None]
+
+    # sort intervals by (start, end) — key fits easily in int32
+    key = mems[:, :, 3] * 4096 + jnp.minimum(mems[:, :, 4], 4095)
+    key = jnp.where(live, key, jnp.int32(0x3FFFFFFF))
+    order = jnp.argsort(key, axis=1)
+    sm = jnp.take_along_axis(mems, order[:, :, None], axis=1)
+
+    live_s = jnp.take_along_axis(live, order, axis=1)
+    s_sz = sm[:, :, 2]
+    step = jnp.where(s_sz > max_occ, s_sz // max_occ, 1)
+    cnt = jnp.where(live_s, jnp.minimum(s_sz, max_occ), 0)
+
+    off = jnp.cumsum(cnt, axis=1) - cnt          # exclusive offsets
+    total = off[:, -1] + cnt[:, -1]
+    overflow = total > S
+
+    ss = jnp.arange(S, dtype=jnp.int32)[None, :]
+    # mem index owning each slot: #mems with off <= slot, minus 1
+    midx = (off[:, :, None] <= ss[:, None, :]).sum(axis=1).astype(jnp.int32) - 1
+    midx = jnp.clip(midx, 0, M - 1)
+    valid = ss < jnp.minimum(total, S)[:, None]
+
+    take = lambda col: jnp.take_along_axis(col, midx, axis=1)
+    k0 = take(sm[:, :, 0])
+    start = take(sm[:, :, 3])
+    end = take(sm[:, :, 4])
+    stp = take(step)
+    ofs = take(off)
+    t = ss - ofs
+    ranks = jnp.where(valid, k0 + t * stp, 1)
+    pos = kfm.sa_resolve(fm, ranks)              # doubled-text rbeg
+    slen = end - start
+
+    # bns_intv2rid: drop seeds bridging strand or reference boundaries
+    bridge = (pos < fm.l_pac) & (pos + slen > fm.l_pac)
+    fb, _ = kfm.depos(fm, pos, 1)
+    fe, _ = kfm.depos(fm, pos + slen - 1, 1)
+    rid_b = kfm.rid_of(fm, fb)
+    rid_e = kfm.rid_of(fm, fe)
+    ok = valid & ~bridge & (rid_b == rid_e)
+    return dict(
+        rbeg=jnp.where(ok, pos, 0),
+        qbeg=jnp.where(ok, start, 0),
+        len=jnp.where(ok, slen, 0),
+        rid=jnp.where(ok, rid_b, -1),
+        valid=ok,
+        overflow=overflow,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("max_chains", "bandwidth", "max_chain_gap"))
+def chain_seeds(
+    fm: kfm.FMDevice,
+    seeds: dict,
+    max_chains: int,
+    bandwidth: int,
+    max_chain_gap: int,
+):
+    """Grow chains over located seeds (mem_chain's insertion loop).
+
+    Returns per-read chain tables + a seed->chain assignment (-1 for
+    dropped/contained seeds).
+    """
+    B, S = seeds["rbeg"].shape
+    C = max_chains
+    i32 = jnp.int32
+
+    st = dict(
+        pos=jnp.zeros((B, C), i32),
+        rid=jnp.full((B, C), -1, i32),
+        f_qbeg=jnp.zeros((B, C), i32),
+        f_rbeg=jnp.zeros((B, C), i32),
+        l_qbeg=jnp.zeros((B, C), i32),
+        l_rbeg=jnp.zeros((B, C), i32),
+        l_len=jnp.zeros((B, C), i32),
+        n=jnp.zeros(B, i32),
+        assign=jnp.full((B, S), -1, i32),
+        overflow=jnp.zeros(B, jnp.bool_),
+    )
+    rows = jnp.arange(B)
+
+    def body(s, st):
+        rbeg = seeds["rbeg"][:, s]
+        qbeg = seeds["qbeg"][:, s]
+        slen = seeds["len"][:, s]
+        srid = seeds["rid"][:, s]
+        ok = seeds["valid"][:, s]
+
+        slots = jnp.arange(C, dtype=i32)[None, :]
+        active = slots < st["n"][:, None]
+        # closest chain: largest pos <= rbeg
+        val = jnp.where(active & (st["pos"] <= rbeg[:, None]), st["pos"], NEG)
+        # ties/argmax: pick the largest pos; among equals the first slot
+        ci = jnp.argmax(val, axis=1).astype(i32)
+        found = jnp.take_along_axis(val, ci[:, None], axis=1)[:, 0] > NEG
+
+        g = lambda a: st[a][rows, ci]
+        qend = g("l_qbeg") + g("l_len")
+        rend = g("l_rbeg") + g("l_len")
+        same_rid = srid == g("rid")
+        contained = (
+            (qbeg >= g("f_qbeg")) & (qbeg + slen <= qend)
+            & (rbeg >= g("f_rbeg")) & (rbeg + slen <= rend)
+        )
+        diff_strand = (
+            ((g("l_rbeg") < fm.l_pac) | (g("f_rbeg") < fm.l_pac))
+            & (rbeg >= fm.l_pac)
+        )
+        x = qbeg - g("l_qbeg")
+        y = rbeg - g("l_rbeg")
+        grow = (
+            (y >= 0) & (x - y <= bandwidth) & (y - x <= bandwidth)
+            & (x - g("l_len") < max_chain_gap) & (y - g("l_len") < max_chain_gap)
+        )
+        merged_grow = ok & found & same_rid & ~contained & ~diff_strand & grow
+        merged_cont = ok & found & same_rid & contained
+        new_chain = ok & ~(merged_grow | merged_cont)
+
+        # grow: update last-seed fields of chain ci
+        def upd(name, value, cond):
+            cur = st[name][rows, ci]
+            return st[name].at[rows, ci].set(jnp.where(cond, value, cur))
+
+        st = dict(st)
+        st["l_qbeg"] = upd("l_qbeg", qbeg, merged_grow)
+        st["l_rbeg"] = upd("l_rbeg", rbeg, merged_grow)
+        st["l_len"] = upd("l_len", slen, merged_grow)
+        st["assign"] = st["assign"].at[:, s].set(
+            jnp.where(merged_grow, ci, jnp.where(merged_cont, -2, -1))
+        )
+
+        # new chain allocation
+        ovf = new_chain & (st["n"] >= C)
+        alloc = new_chain & ~ovf
+        slot = jnp.minimum(st["n"], C - 1)
+
+        def put(name, value):
+            cur = st[name][rows, slot]
+            return st[name].at[rows, slot].set(jnp.where(alloc, value, cur))
+
+        st["pos"] = put("pos", rbeg)
+        st["rid"] = put("rid", srid)
+        st["f_qbeg"] = put("f_qbeg", qbeg)
+        st["f_rbeg"] = put("f_rbeg", rbeg)
+        st["l_qbeg"] = put("l_qbeg", qbeg)
+        st["l_rbeg"] = put("l_rbeg", rbeg)
+        st["l_len"] = put("l_len", slen)
+        st["assign"] = st["assign"].at[:, s].set(
+            jnp.where(alloc, slot, st["assign"][:, s])
+        )
+        st["n"] = st["n"] + alloc.astype(i32)
+        st["overflow"] = st["overflow"] | ovf
+        return st
+
+    st = jax.lax.fori_loop(0, S, body, st)
+    return st
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("min_chain_weight", "min_seed_len", "max_chain_gap"),
+)
+def filter_chains(
+    chains: dict,
+    seeds: dict,
+    mask_level: float,
+    chain_drop_ratio: float,
+    min_chain_weight: int,
+    min_seed_len: int,
+    max_chain_gap: int,
+):
+    """Chain weights + the shadowing filter (mem_chain_flt).
+
+    Returns: weight int32[B, C], kept int32[B, C] (0 dropped / 1
+    promoted shadow / 2 overlapped / 3 primary), order int32[B, C]
+    (chain slots in weight-descending processing order), beg/end
+    int32[B, C] (query span of each chain).
+    """
+    B, S = seeds["rbeg"].shape
+    C = chains["pos"].shape[1]
+    i32 = jnp.int32
+    rows = jnp.arange(B)
+
+    # chain weights: single pass over seeds (assigned in ascending qbeg
+    # and rbeg order within each chain)
+    st = dict(
+        wq=jnp.zeros((B, C), i32), endq=jnp.zeros((B, C), i32),
+        wr=jnp.zeros((B, C), i32), endr=jnp.zeros((B, C), i32),
+        beg=jnp.full((B, C), 1 << 29, i32), end=jnp.zeros((B, C), i32),
+    )
+
+    def wbody(s, st):
+        ci = chains["assign"][:, s]
+        isin = ci >= 0
+        cis = jnp.clip(ci, 0, C - 1)
+        qb = seeds["qbeg"][:, s]
+        rb32 = seeds["rbeg"][:, s]
+        ln = seeds["len"][:, s]
+
+        def acc(wname, ename, b):
+            w = st[wname][rows, cis]
+            e = st[ename][rows, cis]
+            add = jnp.where(b >= e, ln, jnp.maximum(b + ln - e, 0))
+            st[wname] = st[wname].at[rows, cis].set(
+                jnp.where(isin, w + add, w)
+            )
+            st[ename] = st[ename].at[rows, cis].set(
+                jnp.where(isin, jnp.maximum(e, b + ln), e)
+            )
+
+        st = dict(st)
+        acc("wq", "endq", qb)
+        acc("wr", "endr", rb32)
+        b0 = st["beg"][rows, cis]
+        e0 = st["end"][rows, cis]
+        st["beg"] = st["beg"].at[rows, cis].set(
+            jnp.where(isin, jnp.minimum(b0, qb), b0)
+        )
+        st["end"] = st["end"].at[rows, cis].set(
+            jnp.where(isin, jnp.maximum(e0, qb + ln), e0)
+        )
+        return st
+
+    st = jax.lax.fori_loop(0, S, wbody, st)
+    slots = jnp.arange(C, dtype=i32)[None, :]
+    exists = slots < chains["n"][:, None]
+    weight = jnp.where(exists, jnp.minimum(st["wq"], st["wr"]), -1)
+    alive = exists & (weight >= min_chain_weight)
+    weight = jnp.where(alive, weight, -1)
+
+    # process in weight-descending order (stable: ties by slot index,
+    # matching the reference sort's stability)
+    order = jnp.argsort(-weight, axis=1, stable=True).astype(i32)
+
+    beg = st["beg"]
+    end = st["end"]
+    kept = jnp.zeros((B, C), i32)
+    first = jnp.full((B, C), -1, i32)
+
+    # the best chain is always kept (3)
+    best = order[:, 0]
+    kept = kept.at[rows, best].set(jnp.where(alive[rows, best], 3, 0))
+
+    rank_of = jnp.argsort(order, axis=1).astype(i32)  # slot -> weight rank
+
+    def fbody(r, state):
+        kept, first = state
+        ci = order[:, r]
+        ok = alive[rows, ci]
+        bi = beg[rows, ci]
+        ei = end[rows, ci]
+        wi = weight[rows, ci]
+        li = ei - bi
+        # vector over candidate shadowing chains j (all slots; kept > 0)
+        considered = kept > 0
+        bj, ej, wj = beg, end, weight
+        b_max = jnp.maximum(bj, bi[:, None])
+        e_min = jnp.minimum(ej, ei[:, None])
+        ovl = e_min > b_max
+        lj = ej - bj
+        min_l = jnp.minimum(li[:, None], lj)
+        sig = (
+            considered & ovl
+            & ((e_min - b_max) >= min_l * mask_level)
+            & (min_l < max_chain_gap)
+        )
+        dropc = sig & (
+            (wi[:, None] < wj * chain_drop_ratio)
+            & ((wj - wi[:, None]) >= (min_seed_len * 2))
+        )
+        # the reference scans kept chains in weight order and breaks at
+        # the first drop-condition chain; sig chains after it don't get
+        # their `first` updated.
+        drop_rank = jnp.where(dropc, rank_of, 1 << 29)
+        first_drop = jnp.min(drop_rank, axis=1)
+        sig_eff = sig & (rank_of <= first_drop[:, None])
+        dropped = first_drop < (1 << 29)
+        large = jnp.any(sig_eff, axis=1)
+        # first[j] := i where unset, for effective sig chains
+        set_first = sig_eff & (first < 0)
+        first = jnp.where(ok[:, None] & set_first, ci[:, None], first)
+        newk = jnp.where(ok & ~dropped, jnp.where(large, 2, 3), 0)
+        kept = kept.at[rows, ci].set(
+            jnp.where(ok & (kept[rows, ci] == 0), newk, kept[rows, ci])
+        )
+        return kept, first
+
+    kept, first = jax.lax.fori_loop(1, C, fbody, (kept, first))
+
+    # promote shadows referenced by kept chains (kept = 1)
+    def pbody(c, kept):
+        fi = first[:, c]
+        do = (kept[:, c] > 0) & (fi >= 0)
+        fis = jnp.clip(fi, 0, C - 1)
+        cur = kept[rows, fis]
+        return kept.at[rows, fis].set(jnp.where(do & (cur == 0), 1, cur))
+
+    kept = jax.lax.fori_loop(0, C, pbody, kept)
+    return dict(weight=weight, kept=kept, order=order, beg=beg, end=end)
