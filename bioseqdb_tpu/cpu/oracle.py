@@ -331,7 +331,10 @@ def chain_flt(opt: AlignOptions, chains: list[Chain]) -> list[Chain]:
     chains = [c for c in chains if c.w >= opt.min_chain_weight]
     if not chains:
         return []
-    chains.sort(key=lambda c: -c.w)
+    # weight descending; ties broken by chain position ascending — the
+    # reference's introsort is unstable on ties, so this clean-room
+    # build pins a deterministic order (device chaining matches it)
+    chains.sort(key=lambda c: (-c.w, c.pos))
 
     def chn_beg(c: Chain) -> int:
         return c.seeds[0].qbeg

@@ -282,9 +282,13 @@ def filter_chains(
     alive = exists & (weight >= min_chain_weight)
     weight = jnp.where(alive, weight, -1)
 
-    # process in weight-descending order (stable: ties by slot index,
-    # matching the reference sort's stability)
-    order = jnp.argsort(-weight, axis=1, stable=True).astype(i32)
+    # process in weight-descending order; ties broken by chain pos
+    # ascending (the pinned clean-room tie-break, cf. oracle chain_flt)
+    pos_rank = jnp.argsort(jnp.argsort(
+        jnp.where(exists, chains["pos"], jnp.int32(0x7FFFFFFF)), axis=1,
+        stable=True), axis=1).astype(i32)
+    combined = weight * C + (C - 1 - pos_rank)
+    order = jnp.argsort(-combined, axis=1, stable=True).astype(i32)
 
     beg = st["beg"]
     end = st["end"]

@@ -1,0 +1,383 @@
+"""Batched seed-extension orchestration on device.
+
+Device counterpart of the oracle's chain2aln (bwa's mem_chain2aln): per
+read, seeds are visited in the exact reference order — kept chains by
+descending weight, seeds within a chain by descending score (ties to
+the later seed) — and each visited seed is either skipped (contained in
+an accumulated region, with the overlap-rescue test) or extended left
+and right with the batched banded-SW kernel (kernels/sw.py), including
+the reference's band-doubling retry.
+
+The sequential per-read loop is restructured into global *rounds*: in
+each round every lane scans forward through its seed order, finalizing
+skip decisions (pure vector work), until it finds a seed to extend;
+then one batched SW pass serves every active lane. Reads needing more
+than ``max_rounds`` extensions overflow to the host oracle (rare for
+short reads).
+
+The reference window is never materialized: SW targets gather directly
+from the doubled text (pac codes on device), reversed indexing for the
+left extension.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from bioseqdb_tpu.kernels import fm as kfm
+from bioseqdb_tpu.kernels.sw import sw_extend_batch
+
+NEG = jnp.int32(-(1 << 30))
+MAX_BAND_TRY = 2
+
+
+def cal_max_gap(qlen, match_score, o_del, e_del, o_ins, e_ins, bandwidth):
+    l_del = ((qlen * match_score - o_del).astype(jnp.float32) / e_del + 1.0).astype(jnp.int32)
+    l_ins = ((qlen * match_score - o_ins).astype(jnp.float32) / e_ins + 1.0).astype(jnp.int32)
+    return jnp.minimum(jnp.maximum(jnp.maximum(l_del, l_ins), 1), bandwidth << 1)
+
+
+def fetch_doubled(pac_dev, l_pac, seq_len, positions):
+    """Gather codes from the doubled text; out-of-range -> 4."""
+    inb = (positions >= 0) & (positions < seq_len)
+    p = jnp.clip(positions, 0, seq_len - 1)
+    fwd = p < l_pac
+    idx = jnp.where(fwd, p, seq_len - 1 - p)
+    base = pac_dev[idx].astype(jnp.int32)
+    val = jnp.where(fwd, base, 3 - base)
+    return jnp.where(inb, val, 4)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_rounds", "max_regs", "max_qlen", "max_tlen",
+        "match_score", "mismatch_penalty", "o_del", "e_del", "o_ins", "e_ins",
+        "bandwidth", "zdrop", "pen_clip5", "pen_clip3",
+    ),
+)
+def extend_all(
+    fm: kfm.FMDevice,
+    pac_dev: jnp.ndarray,     # int8[l_pac] forward codes on device
+    codes: jnp.ndarray,       # int32[B, W] read codes
+    lens: jnp.ndarray,        # int32[B]
+    seeds: dict,              # from resolve_seeds
+    chains: dict,             # from chain_seeds
+    flt: dict,                # from filter_chains
+    mat: jnp.ndarray,         # int32[5,5]
+    match_score: int, mismatch_penalty: int,
+    o_del: int, e_del: int, o_ins: int, e_ins: int,
+    bandwidth: int, zdrop: int, pen_clip5: int, pen_clip3: int,
+    max_rounds: int = 6,
+    max_regs: int = 8,
+    max_qlen: int = 160,
+    max_tlen: int = 640,
+):
+    """Run the extension stage. Returns per-read region table:
+    rb/re/qb/qe/score/truesc/w/seedlen0 int32[B, R] + n_regs + overflow.
+    seedcov is filled per region; frac_rep is the caller's concern.
+    """
+    B, S = seeds["rbeg"].shape
+    C = chains["pos"].shape[1]
+    R = max_regs
+    i32 = jnp.int32
+    rows = jnp.arange(B)
+
+    # ---- the global seed processing order -------------------------------
+    ci = chains["assign"]                     # (B, S); -1/-2 = not in a chain
+    in_chain = ci >= 0
+    cis = jnp.clip(ci, 0, C - 1)
+    crank = jnp.take_along_axis(
+        jnp.argsort(flt["order"], axis=1).astype(i32), cis, axis=1
+    )                                         # weight rank of the seed's chain
+    ckept = jnp.take_along_axis(flt["kept"], cis, axis=1) > 0
+    usable = in_chain & ckept & seeds["valid"]
+    slen = seeds["len"]
+    # order key: chain rank asc, then score desc with ties to later slot
+    sidx = jnp.arange(S, dtype=i32)[None, :]
+    key = crank * (1 << 20) + (1023 - jnp.minimum(slen, 1023)) * (1 << 10) + (
+        S - 1 - sidx
+    )
+    key = jnp.where(usable, key, jnp.int32(0x7FFFFFF0))
+    order = jnp.argsort(key, axis=1).astype(i32)   # (B, S) slot processing order
+    n_usable = usable.sum(axis=1).astype(i32)
+
+    # ---- per-chain rmax windows ----------------------------------------
+    qlen_rem = lens[:, None] - seeds["qbeg"] - slen
+    gap_l = cal_max_gap(seeds["qbeg"], match_score, o_del, e_del, o_ins, e_ins, bandwidth)
+    gap_r = cal_max_gap(qlen_rem, match_score, o_del, e_del, o_ins, e_ins, bandwidth)
+    b_all = seeds["rbeg"] - (seeds["qbeg"] + gap_l)
+    e_all = seeds["rbeg"] + slen + qlen_rem + gap_r
+    big = jnp.int32(1 << 30)
+    rmax0 = jnp.full((B, C), big, i32)
+    rmax1 = jnp.zeros((B, C), i32)
+
+    def rbody(s, state):
+        rmax0, rmax1 = state
+        isin = in_chain[:, s]
+        c = cis[:, s]
+        cur0 = rmax0[rows, c]
+        cur1 = rmax1[rows, c]
+        rmax0 = rmax0.at[rows, c].set(
+            jnp.where(isin, jnp.minimum(cur0, b_all[:, s]), cur0)
+        )
+        rmax1 = rmax1.at[rows, c].set(
+            jnp.where(isin, jnp.maximum(cur1, e_all[:, s]), cur1)
+        )
+        return rmax0, rmax1
+
+    rmax0, rmax1 = jax.lax.fori_loop(0, S, rbody, (rmax0, rmax1))
+    rmax0 = jnp.maximum(rmax0, 0)
+    rmax1 = jnp.minimum(rmax1, fm.seq_len)
+    # crossing the strand boundary: clip to the side of the first seed
+    cfirst = chains["f_rbeg"]
+    crosses = (rmax0 < fm.l_pac) & (fm.l_pac < rmax1)
+    rmax1 = jnp.where(crosses & (cfirst < fm.l_pac), fm.l_pac, rmax1)
+    rmax0 = jnp.where(crosses & (cfirst >= fm.l_pac), fm.l_pac, rmax0)
+
+    # ---- extension rounds ----------------------------------------------
+    regs = dict(
+        rb=jnp.zeros((B, R), i32), re=jnp.zeros((B, R), i32),
+        qb=jnp.zeros((B, R), i32), qe=jnp.zeros((B, R), i32),
+        score=jnp.zeros((B, R), i32), truesc=jnp.zeros((B, R), i32),
+        w=jnp.zeros((B, R), i32), seedlen0=jnp.zeros((B, R), i32),
+        cchain=jnp.full((B, R), -1, i32),
+    )
+    n_regs = jnp.zeros(B, i32)
+    cursor = jnp.zeros(B, i32)            # index into `order`
+    was_ext = jnp.zeros((B, S), jnp.bool_)
+    overflow = jnp.zeros(B, jnp.bool_)
+
+    W = codes.shape[1]
+    wcols = jnp.arange(max_qlen, dtype=i32)[None, :]
+    tcols = jnp.arange(max_tlen, dtype=i32)[None, :]
+
+    def containment_scan(cursor, n_regs, regs, was_ext):
+        """Advance each lane's cursor over seeds whose decision is final
+        (skip), returning the slot to extend (or S = none)."""
+
+        def scan_body(state):
+            cursor, decided = state
+            slot = jnp.take_along_axis(
+                order, jnp.clip(cursor, 0, S - 1)[:, None], axis=1
+            )[:, 0]
+            active = (cursor < n_usable) & ~decided
+            sq = seeds["qbeg"][rows, slot]
+            sr = seeds["rbeg"][rows, slot]
+            sl = slen[rows, slot]
+            # covered-by-region test (vector over R)
+            rr = jnp.arange(R, dtype=i32)[None, :]
+            has = rr < n_regs[:, None]
+            inside = (
+                has
+                & (sr[:, None] >= regs["rb"]) & (sr[:, None] + sl[:, None] <= regs["re"])
+                & (sq[:, None] >= regs["qb"]) & (sq[:, None] + sl[:, None] <= regs["qe"])
+                & ((sl[:, None] - regs["seedlen0"]) <= (lens[:, None] // 10))
+            )
+            qd = sq[:, None] - regs["qb"]
+            rd = sr[:, None] - regs["rb"]
+            mg = cal_max_gap(jnp.minimum(qd, rd), match_score, o_del, e_del,
+                             o_ins, e_ins, bandwidth)
+            wlim = jnp.minimum(mg, regs["w"])
+            near1 = ((qd - rd) < wlim) & ((rd - qd) < wlim)
+            qd2 = regs["qe"] - (sq[:, None] + sl[:, None])
+            rd2 = regs["re"] - (sr[:, None] + sl[:, None])
+            mg2 = cal_max_gap(jnp.minimum(qd2, rd2), match_score, o_del, e_del,
+                              o_ins, e_ins, bandwidth)
+            wlim2 = jnp.minimum(mg2, regs["w"])
+            near2 = ((qd2 - rd2) < wlim2) & ((rd2 - qd2) < wlim2)
+            covered = jnp.any(inside & (near1 | near2), axis=1)
+            # overlap rescue: an already-extended same-chain seed of
+            # similar length on a different diagonal
+            samechain = cis == cis[rows, slot][:, None]
+            cand = was_ext & samechain & seeds["valid"]
+            t_q = seeds["qbeg"]
+            t_r = seeds["rbeg"]
+            t_l = slen
+            c1 = (
+                (sq[:, None] <= t_q)
+                & ((sq[:, None] + sl[:, None] - t_q) >= (sl[:, None] >> 2))
+                & ((t_q - sq[:, None]) != (t_r - sr[:, None]))
+            )
+            c2 = (
+                (t_q <= sq[:, None])
+                & ((t_q + t_l - sq[:, None]) >= (sl[:, None] >> 2))
+                & ((sq[:, None] - t_q) != (sr[:, None] - t_r))
+            )
+            simlen = t_l >= (sl[:, None] * 19 + 19) // 20  # t.len >= s.len*0.95
+            need = jnp.any(cand & simlen & (c1 | c2), axis=1)
+            skip = active & covered & ~need
+            cursor = jnp.where(skip, cursor + 1, cursor)
+            decided = decided | (active & ~skip) | (cursor >= n_usable)
+            return cursor, decided
+
+        def scan_cond(state):
+            _, decided = state
+            return jnp.any(~decided)
+
+        cursor, _ = jax.lax.while_loop(
+            scan_cond, scan_body, (cursor, jnp.zeros(B, jnp.bool_))
+        )
+        slot = jnp.take_along_axis(
+            order, jnp.clip(cursor, 0, S - 1)[:, None], axis=1
+        )[:, 0]
+        todo = cursor < n_usable
+        return cursor, slot, todo
+
+    def sw_with_retry(qbuf, qn, tbuf, tn, h0, bonus, active, prev_sc):
+        """One ksw_extend with the reference's MAX_BAND_TRY band doubling:
+        retry at twice the band iff the try-1 score differs from the
+        pre-extension score AND the max diagonal offset filled the band."""
+        qn_a = jnp.where(active, qn, 0)
+        w1 = jnp.full(B, bandwidth, i32)
+        r1 = sw_extend_batch(qbuf, qn_a, tbuf, tn, mat, o_del, e_del,
+                             o_ins, e_ins, w1, bonus, zdrop, h0, max_qlen)
+        retry = (
+            active
+            & (r1["score"] != prev_sc)
+            & (r1["max_off"] >= ((w1 >> 1) + (w1 >> 2)))
+        )
+        qn_b = jnp.where(retry, qn, 0)
+        w2 = w1 * 2
+        r2 = sw_extend_batch(qbuf, qn_b, tbuf, tn, mat, o_del, e_del,
+                             o_ins, e_ins, w2, bonus, zdrop, h0, max_qlen)
+        # the reference keeps the wider-band results whenever it retried
+        out = {k: jnp.where(retry, r2[k], r1[k]) for k in r1}
+        aw = jnp.where(retry, w2, w1)
+        return out, aw
+
+    def round_body(_, carry):
+        regs, n_regs, cursor, was_ext, overflow = carry
+        cursor, slot, todo = containment_scan(cursor, n_regs, regs, was_ext)
+        ovf_now = todo & (n_regs >= R)
+        overflow = overflow | ovf_now
+        act = todo & ~ovf_now
+
+        sq = seeds["qbeg"][rows, slot]
+        sr = seeds["rbeg"][rows, slot]
+        sl = slen[rows, slot]
+        c = cis[rows, slot]
+        r0 = rmax0[rows, c]
+        r1_ = rmax1[rows, c]
+
+        # ---- left extension ----
+        lq = sq                            # length of reversed query prefix
+        lt = sr - r0                       # length of reversed target prefix
+        qpos = sq[:, None] - 1 - wcols
+        qbuf_l = jnp.where(
+            (wcols < lq[:, None]) & (qpos >= 0),
+            jnp.take_along_axis(codes, jnp.clip(qpos, 0, W - 1), axis=1), 4
+        )
+        tpos = sr[:, None] - 1 - tcols
+        tbuf_l = jnp.where(
+            tcols < lt[:, None],
+            fetch_doubled(pac_dev, fm.l_pac, fm.seq_len, tpos), 4
+        )
+        has_l = act & (lq > 0)
+        resL, awL = sw_with_retry(
+            qbuf_l, lq, tbuf_l, jnp.where(has_l, lt, 0),
+            (sl * match_score).astype(i32), pen_clip5, has_l,
+            jnp.full(B, -1, i32),
+        )
+        local_l = (resL["gscore"] <= 0) | (resL["gscore"] <= resL["score"] - pen_clip5)
+        qb = jnp.where(has_l, jnp.where(local_l, sq - resL["qle"], 0), 0)
+        rb = jnp.where(
+            has_l,
+            jnp.where(local_l, sr - resL["tle"], sr - resL["gtle"]),
+            sr,
+        )
+        score_l = jnp.where(has_l, resL["score"], sl * match_score)
+        truesc_l = jnp.where(
+            has_l, jnp.where(local_l, resL["score"], resL["gscore"]),
+            sl * match_score,
+        )
+
+        # ---- right extension ----
+        qe0 = sq + sl
+        rq = lens - qe0
+        re0 = sr + sl
+        rt = r1_ - re0
+        qpos_r = qe0[:, None] + wcols
+        qbuf_r = jnp.where(
+            wcols < rq[:, None],
+            jnp.take_along_axis(codes, jnp.clip(qpos_r, 0, W - 1), axis=1), 4
+        )
+        tpos_r = re0[:, None] + tcols
+        tbuf_r = jnp.where(
+            tcols < rt[:, None],
+            fetch_doubled(pac_dev, fm.l_pac, fm.seq_len, tpos_r), 4
+        )
+        has_r = act & (rq > 0)
+        resR, awR = sw_with_retry(
+            qbuf_r, rq, tbuf_r, jnp.where(has_r, rt, 0),
+            score_l, pen_clip3, has_r, score_l,
+        )
+        local_r = (resR["gscore"] <= 0) | (resR["gscore"] <= resR["score"] - pen_clip3)
+        qe = jnp.where(has_r, jnp.where(local_r, qe0 + resR["qle"], lens), qe0)
+        re = jnp.where(
+            has_r, jnp.where(local_r, re0 + resR["tle"], re0 + resR["gtle"]), re0
+        )
+        score = jnp.where(has_r, resR["score"], score_l)
+        truesc = truesc_l + jnp.where(
+            has_r,
+            jnp.where(local_r, resR["score"] - score_l, resR["gscore"] - score_l),
+            0,
+        )
+        aw = jnp.maximum(jnp.where(has_l, awL, bandwidth),
+                         jnp.where(has_r, awR, bandwidth))
+
+        # append region
+        slot_r = jnp.minimum(n_regs, R - 1)
+
+        def put(name, value):
+            cur = regs[name][rows, slot_r]
+            return regs[name].at[rows, slot_r].set(jnp.where(act, value, cur))
+
+        regs = dict(regs)
+        regs["rb"] = put("rb", rb)
+        regs["re"] = put("re", re)
+        regs["qb"] = put("qb", qb)
+        regs["qe"] = put("qe", qe)
+        regs["score"] = put("score", score)
+        regs["truesc"] = put("truesc", truesc)
+        regs["w"] = put("w", aw)
+        regs["seedlen0"] = put("seedlen0", sl)
+        regs["cchain"] = put("cchain", c)
+        n_regs = n_regs + act.astype(i32)
+        was_ext = was_ext.at[rows, slot].set(
+            jnp.where(act, True, was_ext[rows, slot])
+        )
+        cursor = jnp.where(act, cursor + 1, cursor)
+        return regs, n_regs, cursor, was_ext, overflow
+
+    regs, n_regs, cursor, was_ext, overflow = jax.lax.fori_loop(
+        0, max_rounds, round_body, (regs, n_regs, cursor, was_ext, overflow)
+    )
+    # any lane with seeds still pending after max_rounds overflows
+    overflow = overflow | (cursor < n_usable)
+
+    # seedcov per region: seeds of the same chain fully inside the region
+    seedcov = jnp.zeros((B, R), i32)
+
+    def cov_body(s, seedcov):
+        sq = seeds["qbeg"][:, s][:, None]
+        sr = seeds["rbeg"][:, s][:, None]
+        sl_ = slen[:, s][:, None]
+        # the reference sums only seeds of the region's own chain
+        okc = (seeds["valid"][:, s] & in_chain[:, s])[:, None] & (
+            cis[:, s][:, None] == regs["cchain"]
+        )
+        inside = (
+            okc
+            & (sq >= regs["qb"]) & (sq + sl_ <= regs["qe"])
+            & (sr >= regs["rb"]) & (sr + sl_ <= regs["re"])
+        )
+        return seedcov + jnp.where(inside, sl_, 0)
+
+    seedcov = jax.lax.fori_loop(0, S, cov_body, seedcov)
+    regs = dict(regs)
+    regs["seedcov"] = seedcov
+    return dict(regs=regs, n_regs=n_regs, overflow=overflow)
