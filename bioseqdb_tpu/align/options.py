@@ -30,6 +30,7 @@ class AlignOptions:
 
     # engine knobs (no reference analogue; defaults follow bwa-mem's
     # mem_opt_init values where one exists)
+    min_score: int = 30          # mem_opt_t.T: minimum score to report
     reseed_factor: float = 1.5   # mem_opt_t.split_factor: re-seed long MEMs
     split_width: int = 10        # mem_opt_t.split_width
     max_mem_intv: int = 20       # 3rd-round seeding interval threshold

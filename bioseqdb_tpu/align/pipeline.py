@@ -55,40 +55,136 @@ def exact_align_step(fm: kfm.FMDevice, codes, lens, max_hits: int):
     return dict(n_hits=n_hits, valid=valid, rid=rid, pos=local, rev=rev)
 
 
+# NOTE deliberately not wrapped in an outer jax.jit: every stage below is
+# individually jitted, and wrapping the composition in another jit hits a
+# JAX 0.9 executable-cache bug (same-shape re-executions fail with
+# "Execution supplied 14 buffers but compiled program expected 16").
+def full_align_step(
+    fm: kfm.FMDevice, pac_dev, codes, lens, mat,
+    min_seed_len: int, split_len: int, split_width: int, max_mem_intv: int,
+    max_occ: int, max_seeds: int, max_chains: int,
+    match_score: int, mismatch_penalty: int,
+    o_del: int, e_del: int, o_ins: int, e_ins: int,
+    bandwidth: int, zdrop: int, pen_clip5: int, pen_clip3: int,
+    min_chain_weight: int, max_chain_gap: int,
+    mask_level: float, chain_drop_ratio: float,
+):
+    """Jitted full BWA-MEM device pipeline for one batch: SMEM seeding ->
+    seed resolution -> chaining -> chain filter -> banded-SW extension.
+    Returns candidate regions + the raw seed intervals (for frac_rep)."""
+    from bioseqdb_tpu.kernels.chain import chain_seeds, filter_chains, resolve_seeds
+    from bioseqdb_tpu.kernels.extend import extend_all
+    from bioseqdb_tpu.kernels.seed import collect_seeds_device
+
+    mems = collect_seeds_device(
+        fm, codes, lens, min_seed_len=min_seed_len, split_len=split_len,
+        split_width=split_width, max_mem_intv=max_mem_intv,
+    )
+    seeds = resolve_seeds(fm, mems["mems"], mems["n_mem"],
+                          max_occ=max_occ, max_seeds=max_seeds)
+    chains = chain_seeds(fm, seeds, max_chains=max_chains,
+                         bandwidth=bandwidth, max_chain_gap=max_chain_gap)
+    flt = filter_chains(chains, seeds, mask_level=mask_level,
+                        chain_drop_ratio=chain_drop_ratio,
+                        min_chain_weight=min_chain_weight,
+                        min_seed_len=min_seed_len,
+                        max_chain_gap=max_chain_gap)
+    ext = extend_all(
+        fm, pac_dev, codes, lens, seeds, chains, flt, mat,
+        match_score=match_score, mismatch_penalty=mismatch_penalty,
+        o_del=o_del, e_del=e_del, o_ins=o_ins, e_ins=e_ins,
+        bandwidth=bandwidth, zdrop=zdrop,
+        pen_clip5=pen_clip5, pen_clip3=pen_clip3,
+    )
+    overflow = (
+        mems["overflow"] | seeds["overflow"] | chains["overflow"]
+        | ext["overflow"]
+    )
+    return dict(
+        regs=ext["regs"], n_regs=ext["n_regs"], overflow=overflow,
+        mems=mems["mems"], n_mem=mems["n_mem"],
+    )
+
+
 @dataclass
 class Aligner:
     """Bound (index, options) ready to align read batches.
 
     The analogue of a built ``BwaIndex`` + applied ``bwa_options``
     (extension.cpp:211-236) — except the index is built once and reused,
-    not rebuilt per call.
-    """
+    not rebuilt per call. ``mode`` selects the exact-match fast path or
+    the full BWA-MEM pipeline (device seeding/chaining/extension + host
+    finalization)."""
 
     index: FMIndex
     options: AlignOptions
     fm: kfm.FMDevice
+    mode: str = "full"
+    pac_dev: object = None
 
     @classmethod
     def build(cls, index: FMIndex, options: AlignOptions | None = None,
-              device=None) -> "Aligner":
+              device=None, mode: str = "full") -> "Aligner":
+        pac_dev = jax.device_put(
+            jnp.asarray(np.asarray(index.pac), jnp.int8), device
+        ) if mode == "full" else None
         return cls(
             index=index,
             options=options or AlignOptions(),
             fm=kfm.FMDevice.from_host(index, device=device),
+            mode=mode,
+            pac_dev=pac_dev,
         )
 
     def align_batch(self, batch: ReadBatch, max_hits: int | None = None,
                     with_query_ids: bool = True) -> list[ReadResult]:
-        """Exact-match align a packed batch; returns per-read results."""
-        if max_hits is None:
-            max_hits = min(self.options.resolve_max_occ(self.index.n_refs), 64)
-        out = exact_align_step(
-            self.fm,
-            jnp.asarray(batch.codes, jnp.int32),
-            jnp.asarray(batch.lens, jnp.int32),
-            max_hits,
+        """Align a packed batch; returns per-read results."""
+        if self.mode == "exact":
+            if max_hits is None:
+                max_hits = min(self.options.resolve_max_occ(self.index.n_refs), 64)
+            out = exact_align_step(
+                self.fm,
+                jnp.asarray(batch.codes, jnp.int32),
+                jnp.asarray(batch.lens, jnp.int32),
+                max_hits,
+            )
+            return self._to_results(batch, jax.device_get(out), with_query_ids)
+        return self._align_full(batch, with_query_ids)
+
+    def device_regions(self, batch: ReadBatch):
+        """Run the device pipeline only (no host finalize); returns the
+        raw region/mem arrays. Used by benchmarks and the finalizer."""
+        from bioseqdb_tpu.cpu.ksw import fill_scmat
+
+        opt = self.options
+        mat = jnp.asarray(
+            fill_scmat(opt.match_score, opt.mismatch_penalty).astype(np.int32)
         )
-        return self._to_results(batch, jax.device_get(out), with_query_ids)
+        split_len = int(opt.min_seed_len * opt.reseed_factor + 0.499)
+        return full_align_step(
+            self.fm, self.pac_dev,
+            jnp.asarray(batch.codes, jnp.int32),
+            jnp.asarray(batch.lens, jnp.int32), mat,
+            min_seed_len=opt.min_seed_len, split_len=split_len,
+            split_width=opt.split_width, max_mem_intv=opt.max_mem_intv,
+            max_occ=opt.resolve_max_occ(self.index.n_refs),
+            max_seeds=64, max_chains=16,
+            match_score=opt.match_score, mismatch_penalty=opt.mismatch_penalty,
+            o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins, e_ins=opt.e_ins,
+            bandwidth=opt.bandwidth, zdrop=opt.zdrop,
+            pen_clip5=opt.pen_clip5, pen_clip3=opt.pen_clip3,
+            min_chain_weight=opt.min_chain_weight,
+            max_chain_gap=opt.max_chain_gap,
+            mask_level=opt.mask_level, chain_drop_ratio=opt.chain_drop_ratio,
+        )
+
+    def _align_full(self, batch: ReadBatch, with_query_ids: bool) -> list[ReadResult]:
+        from bioseqdb_tpu.align.finalize import finalize_batch
+
+        out = jax.device_get(self.device_regions(batch))
+        return finalize_batch(
+            self.index, self.options, batch, out, with_query_ids
+        )
 
     def _to_results(self, batch: ReadBatch, out: dict,
                     with_query_ids: bool) -> list[ReadResult]:

@@ -28,6 +28,8 @@ class Hit:
     cigar: str
     score: int
     mapq: int
+    nm: int = 0          # edit distance (SAM NM tag)
+    md: str = ""         # SAM MD tag ("" = not computed)
 
     @property
     def ref_match_len(self) -> int:

@@ -434,6 +434,17 @@ def chain2aln(
             rmax1 = l_pac
         else:
             rmax0 = l_pac
+    # clip to the reference containing the first seed (bns_fetch_seq):
+    # extensions must not run across concatenated reference boundaries
+    mid = c.seeds[0].rbeg
+    fwd_mid, mid_rev = idx.depos(mid, 1)
+    rid_mid = idx.rid_of(fwd_mid)
+    far_beg = int(idx.ref_offsets[rid_mid])
+    far_end = far_beg + int(idx.ref_lens[rid_mid])
+    if mid_rev:
+        far_beg, far_end = idx.seq_len - far_end, idx.seq_len - far_beg
+    rmax0 = max(rmax0, far_beg)
+    rmax1 = min(rmax1, far_end)
     rseq = get_dseq(idx, rmax0, rmax1)
 
     # process seeds best-score-first (srt order: descending score, ties

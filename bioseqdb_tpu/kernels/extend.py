@@ -137,6 +137,16 @@ def extend_all(
     crosses = (rmax0 < fm.l_pac) & (fm.l_pac < rmax1)
     rmax1 = jnp.where(crosses & (cfirst < fm.l_pac), fm.l_pac, rmax1)
     rmax0 = jnp.where(crosses & (cfirst >= fm.l_pac), fm.l_pac, rmax0)
+    # clip to the reference containing the first seed (bns_fetch_seq):
+    # extensions must not cross concatenated reference boundaries
+    crid = jnp.clip(chains["rid"], 0, fm.ref_offsets.shape[0] - 1)
+    roff = fm.ref_offsets[crid]
+    rlen_ref = fm.ref_lens[crid]
+    mid_rev = cfirst >= fm.l_pac
+    far_beg = jnp.where(mid_rev, fm.seq_len - (roff + rlen_ref), roff)
+    far_end = jnp.where(mid_rev, fm.seq_len - roff, roff + rlen_ref)
+    rmax0 = jnp.maximum(rmax0, far_beg)
+    rmax1 = jnp.minimum(rmax1, far_end)
 
     # ---- extension rounds ----------------------------------------------
     regs = dict(
@@ -145,6 +155,7 @@ def extend_all(
         score=jnp.zeros((B, R), i32), truesc=jnp.zeros((B, R), i32),
         w=jnp.zeros((B, R), i32), seedlen0=jnp.zeros((B, R), i32),
         cchain=jnp.full((B, R), -1, i32),
+        rid=jnp.full((B, R), -1, i32),
     )
     n_regs = jnp.zeros(B, i32)
     cursor = jnp.zeros(B, i32)            # index into `order`
@@ -346,6 +357,7 @@ def extend_all(
         regs["w"] = put("w", aw)
         regs["seedlen0"] = put("seedlen0", sl)
         regs["cchain"] = put("cchain", c)
+        regs["rid"] = put("rid", chains["rid"][rows, c])
         n_regs = n_regs + act.astype(i32)
         was_ext = was_ext.at[rows, slot].set(
             jnp.where(act, True, was_ext[rows, slot])

@@ -1,0 +1,131 @@
+"""End-to-end full-pipeline agreement: device align == host oracle.
+
+This is the round-trip gate for BASELINE.md config 2 scope: reads with
+mismatches/indels/clips/repeats must produce identical final records
+(position, strand, CIGAR, score, MAPQ, NM, flags) through the batched
+device pipeline + host finalize as through the pure host oracle.
+"""
+
+import numpy as np
+import pytest
+
+from bioseqdb_tpu.align.options import AlignOptions
+from bioseqdb_tpu.align.pipeline import Aligner
+from bioseqdb_tpu.cpu import oracle as O
+from bioseqdb_tpu.cpu.ksw import cigar_to_string
+from bioseqdb_tpu.index.builder import build_index
+from bioseqdb_tpu.io.batch import pack_reads
+from bioseqdb_tpu.utils.sim import simulate_genome, simulate_reads
+
+LUT = np.zeros(256, np.uint8)
+for _i, _c in enumerate(b"ACGT"):
+    LUT[_c] = _i
+LUT[ord("N")] = 4
+enc = lambda s: LUT[np.frombuffer(s.encode(), np.uint8)]
+
+
+@pytest.fixture(scope="module")
+def setup():
+    core = simulate_genome(25_000, seed=41)
+    rep = simulate_genome(400, seed=42)
+    g = core[:8000] + rep + core[8000:16000] + rep + core[16000:]
+    idx = build_index([("ref", g)])
+    return g, idx
+
+
+def compare(setup_t, reads, opt=None):
+    g, idx = setup_t
+    opt = opt or AlignOptions()
+    aligner = Aligner.build(idx, opt, mode="full")
+    batch = pack_reads(reads, [f"r{i}" for i in range(len(reads))])
+    results = aligner.align_batch(batch)
+    for i, r in enumerate(reads):
+        q = enc(r)
+        want = O.align_read(idx, opt, q, rand_id=i,
+                            min_score=opt.min_score, all_hits=True)
+        got = results[i].hits
+        w = [
+            (a.pos, a.is_rev, cigar_to_string(a.cigar), a.score, a.mapq,
+             a.NM, bool(a.flag & 0x100))
+            for a in want
+        ]
+        gg = [
+            (h.ref_begin, h.is_reverse, h.cigar, h.score, h.mapq, h.nm,
+             h.is_secondary)
+            for h in got
+        ]
+        assert gg == w, (i, gg, w)
+
+
+def test_exact_reads(setup):
+    g, idx = setup
+    sim = simulate_reads(g, 16, read_len=100, seed=1)
+    compare(setup, sim.reads)
+
+
+def test_mismatched_reads(setup):
+    g, idx = setup
+    sim = simulate_reads(g, 32, read_len=150, sub_rate=0.04, seed=2)
+    compare(setup, sim.reads)
+
+
+def test_heavily_mutated_reads(setup):
+    g, idx = setup
+    sim = simulate_reads(g, 16, read_len=150, sub_rate=0.10, seed=3)
+    compare(setup, sim.reads)
+
+
+def test_indel_and_clip_reads(setup):
+    g, idx = setup
+    junk = "".join("ACGT"[i % 4] for i in range(25))
+    reads = [
+        g[5000:5060] + g[5063:5123],
+        g[6000:6050] + "ACGTA" + g[6050:6110],
+        junk + g[3000:3100],
+        g[3000:3100] + junk,
+        g[2000:2060] + g[2070:2130],   # 10bp deletion
+    ]
+    compare(setup, reads)
+
+
+def test_repeat_reads_secondary(setup):
+    g, idx = setup
+    reads = [g[8000 + off : 8000 + off + 120] for off in (0, 100, 250)]
+    compare(setup, reads)
+
+
+def test_chimeric_reads(setup):
+    g, idx = setup
+    reads = [
+        g[1000:1075] + g[20000:20075],
+        g[3000:3080] + g[12000:12070],
+    ]
+    compare(setup, reads)
+
+
+def test_junk_and_n_reads(setup):
+    g, idx = setup
+    rng = np.random.default_rng(4)
+    junky = "".join("ACGT"[c] for c in rng.integers(0, 4, 120))
+    with_n = g[4000:4060] + "N" + g[4061:4120]
+    compare(setup, [junky, with_n, "N" * 50])
+
+
+def test_multi_ref(setup):
+    g, _ = setup
+    a, b = g[:6000], g[10000:17000]
+    idx2 = build_index([(5, "chrA", a), (9, "chrB", b)])
+    sim_a = simulate_reads(a, 6, read_len=120, seed=5)
+    sim_b = simulate_reads(b, 6, read_len=120, seed=6)
+    opt = AlignOptions()
+    aligner = Aligner.build(idx2, opt, mode="full")
+    reads = sim_a.reads + sim_b.reads
+    batch = pack_reads(reads, [f"r{i}" for i in range(len(reads))])
+    results = aligner.align_batch(batch)
+    for i, res in enumerate(results):
+        want = O.align_read(idx2, opt, enc(reads[i]), rand_id=i)
+        assert len(res.hits) == len(want)
+        prim = res.primary
+        truth_name = "chrA" if i < 6 else "chrB"
+        assert prim.ref_name == truth_name
+        assert prim.ref_id == (5 if i < 6 else 9)
