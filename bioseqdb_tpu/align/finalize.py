@@ -83,6 +83,7 @@ def aln_to_hit(
         mapq=aln.mapq,
         nm=aln.NM,
         md=aln.MD,
+        rid=aln.rid,
     )
 
 

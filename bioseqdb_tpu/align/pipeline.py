@@ -215,8 +215,9 @@ class Aligner:
                         cigar=f"{L}M",
                         score=m * L,
                         # exact mode: unique hit -> 60, ambiguous -> 0
-                        # (full MEM MAPQ arrives with the SW pipeline)
+                        # (full-mode MAPQ uses the real formula)
                         mapq=60 if n_hits == 1 else 0,
+                        rid=rid,
                     )
                 )
             results.append(ReadResult(query_name=name, hits=hits))

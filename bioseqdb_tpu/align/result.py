@@ -30,6 +30,7 @@ class Hit:
     mapq: int
     nm: int = 0          # edit distance (SAM NM tag)
     md: str = ""         # SAM MD tag ("" = not computed)
+    rid: int = -1        # internal reference row index
 
     @property
     def ref_match_len(self) -> int:
