@@ -121,10 +121,18 @@ class Aligner:
     fm: kfm.FMDevice
     mode: str = "full"
     pac_dev: object = None
+    mesh: object = None
 
     @classmethod
     def build(cls, index: FMIndex, options: AlignOptions | None = None,
-              device=None, mode: str = "full") -> "Aligner":
+              device=None, mode: str = "full", mesh=None) -> "Aligner":
+        """Bind an index for alignment. With ``mesh`` (a 1-D jax Mesh),
+        the index replicates to every device and batches shard
+        data-parallel along the batch axis (SURVEY.md §2b)."""
+        if mesh is not None:
+            from bioseqdb_tpu.dist.mesh import replicated
+
+            device = replicated(mesh)
         pac_dev = jax.device_put(
             jnp.asarray(np.asarray(index.pac), jnp.int8), device
         ) if mode == "full" else None
@@ -134,7 +142,25 @@ class Aligner:
             fm=kfm.FMDevice.from_host(index, device=device),
             mode=mode,
             pac_dev=pac_dev,
+            mesh=mesh,
         )
+
+    def _put_batch(self, batch: ReadBatch):
+        codes = np.asarray(batch.codes, np.int32)
+        lens = np.asarray(batch.lens, np.int32)
+        if self.mesh is None:
+            return jnp.asarray(codes), jnp.asarray(lens)
+        from bioseqdb_tpu.dist.mesh import batch_sharded, pad_batch_rows
+
+        rows = pad_batch_rows(codes.shape[0], self.mesh)
+        if rows != codes.shape[0]:
+            pad = rows - codes.shape[0]
+            codes = np.concatenate(
+                [codes, np.full((pad, codes.shape[1]), 4, np.int32)]
+            )
+            lens = np.concatenate([lens, np.zeros(pad, np.int32)])
+        sh = batch_sharded(self.mesh)
+        return jax.device_put(codes, sh), jax.device_put(lens, sh)
 
     def align_batch(self, batch: ReadBatch, max_hits: int | None = None,
                     with_query_ids: bool = True) -> list[ReadResult]:
@@ -142,12 +168,8 @@ class Aligner:
         if self.mode == "exact":
             if max_hits is None:
                 max_hits = min(self.options.resolve_max_occ(self.index.n_refs), 64)
-            out = exact_align_step(
-                self.fm,
-                jnp.asarray(batch.codes, jnp.int32),
-                jnp.asarray(batch.lens, jnp.int32),
-                max_hits,
-            )
+            codes, lens = self._put_batch(batch)
+            out = exact_align_step(self.fm, codes, lens, max_hits)
             return self._to_results(batch, jax.device_get(out), with_query_ids)
         return self._align_full(batch, with_query_ids)
 
@@ -161,10 +183,9 @@ class Aligner:
             fill_scmat(opt.match_score, opt.mismatch_penalty).astype(np.int32)
         )
         split_len = int(opt.min_seed_len * opt.reseed_factor + 0.499)
+        codes, lens = self._put_batch(batch)
         return full_align_step(
-            self.fm, self.pac_dev,
-            jnp.asarray(batch.codes, jnp.int32),
-            jnp.asarray(batch.lens, jnp.int32), mat,
+            self.fm, self.pac_dev, codes, lens, mat,
             min_seed_len=opt.min_seed_len, split_len=split_len,
             split_width=opt.split_width, max_mem_intv=opt.max_mem_intv,
             max_occ=opt.resolve_max_occ(self.index.n_refs),
