@@ -177,9 +177,30 @@ def ksw_global(
 ) -> tuple[int, list[tuple[int, str]]]:
     """Banded global affine alignment with CIGAR (ksw_global2 semantics).
 
-    Returns (score, cigar) with cigar as [(length, op)] over 'MID',
-    ops in forward (query, target) order.
+    Dispatches to the native C++ twin (index/native/ksw.cpp) on the
+    finalize hot path; ``ksw_global_py`` below is the semantic reference
+    the native kernel is pinned against.
     """
+    try:
+        from bioseqdb_tpu.index.native.build import ksw_global_native
+
+        return ksw_global_native(query, target, mat, o_del, e_del, o_ins,
+                                 e_ins, w)
+    except (OSError, ImportError):  # no toolchain: fall back to Python
+        return ksw_global_py(query, target, mat, o_del, e_del, o_ins, e_ins, w)
+
+
+def ksw_global_py(
+    query: np.ndarray,
+    target: np.ndarray,
+    mat: np.ndarray,
+    o_del: int,
+    e_del: int,
+    o_ins: int,
+    e_ins: int,
+    w: int,
+) -> tuple[int, list[tuple[int, str]]]:
+    """Pure-Python reference implementation of ``ksw_global``."""
     qlen, tlen = len(query), len(target)
     if qlen == 0:
         return (-(o_del + e_del * tlen) if tlen else 0), (
@@ -275,30 +296,37 @@ def cigar_nm_md(
     target: np.ndarray,
 ) -> tuple[int, str]:
     """NM (edit distance) and MD tag for an alignment (bwa_gen_cigar2's
-    NM/MD walk): mismatches counted over M runs, indel lengths added."""
+    NM/MD walk): mismatches counted over M runs, indel lengths added.
+    M runs are vectorized (this sits on the per-read hot path)."""
     nm = 0
-    md = []
+    md: list[str] = []
     qi = ti = 0
     match_run = 0
+    base = "ACGTN"
     for n, op in cigar:
         if op == "M":
-            for _ in range(n):
-                if query[qi] != target[ti] or query[qi] > 3:
-                    md.append(str(match_run))
-                    match_run = 0
-                    md.append("ACGTN"[min(int(target[ti]), 4)])
-                    nm += 1
-                else:
-                    match_run += 1
-                qi += 1
-                ti += 1
+            qs = np.asarray(query[qi : qi + n])
+            ts = np.asarray(target[ti : ti + n])
+            mism = np.flatnonzero((qs != ts) | (qs > 3))
+            prev = -1
+            for j in mism:
+                md.append(str(match_run + int(j) - prev - 1))
+                md.append(base[min(int(ts[j]), 4)])
+                match_run = 0
+                prev = int(j)
+            match_run += n - 1 - prev
+            nm += len(mism)
+            qi += n
+            ti += n
         elif op == "I":
             qi += n
             nm += n
         elif op == "D":
             md.append(str(match_run))
             match_run = 0
-            md.append("^" + "".join("ACGTN"[min(int(c), 4)] for c in target[ti : ti + n]))
+            md.append(
+                "^" + "".join(base[min(int(c), 4)] for c in target[ti : ti + n])
+            )
             ti += n
             nm += n
     md.append(str(match_run))

@@ -795,7 +795,7 @@ def reg2aln(
         rseq = get_dseq(idx, rb, re)
         qq, rr = (qseg[::-1].copy(), rseq[::-1].copy()) if is_rev else (qseg, rseq)
         if qe - qb == re - rb and w2 == 0:
-            score = int(sum(mat[rr[j], qq[j]] for j in range(len(qq))))
+            score = int(mat[np.asarray(rr), np.asarray(qq)].sum())
             cigar = [(qe - qb, "M")]
         else:
             score, cigar = ksw_global(

@@ -17,14 +17,16 @@ import subprocess
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_DIR, "sais.cpp")
+_SRCS = [os.path.join(_DIR, f) for f in ("sais.cpp", "ksw.cpp")]
 _lib = None
 
 
 def _lib_path() -> str:
-    with open(_SRC, "rb") as fh:
-        digest = hashlib.sha256(fh.read()).hexdigest()[:16]
-    return os.path.join(_DIR, f"libsais_tpu.{digest}.so")
+    h = hashlib.sha256()
+    for src in _SRCS:
+        with open(src, "rb") as fh:
+            h.update(fh.read())
+    return os.path.join(_DIR, f"libsais_tpu.{h.hexdigest()[:16]}.so")
 
 
 def get_lib() -> ctypes.CDLL:
@@ -35,7 +37,7 @@ def get_lib() -> ctypes.CDLL:
     if not os.path.exists(path):
         tmp = path + f".tmp.{os.getpid()}"
         subprocess.run(
-            ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-o", tmp, _SRC],
+            ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-o", tmp, *_SRCS],
             check=True,
             capture_output=True,
         )
@@ -53,8 +55,42 @@ def get_lib() -> ctypes.CDLL:
         ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64),
     ]
+    lib.ksw_global_c.restype = ctypes.c_int32
+    lib.ksw_global_c.argtypes = [
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int8),
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_uint32),
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+    ]
     _lib = lib
     return lib
+
+
+_U8P = ctypes.POINTER(ctypes.c_uint8)
+
+
+def ksw_global_native(query, target, mat, o_del, e_del, o_ins, e_ins, w):
+    """Native banded global alignment; returns (score, [(len, op)]).
+    Same semantics as cpu.ksw.ksw_global (the Python reference)."""
+    lib = get_lib()
+    q = np.ascontiguousarray(query, dtype=np.uint8)
+    t = np.ascontiguousarray(target, dtype=np.uint8)
+    m = np.ascontiguousarray(mat, dtype=np.int8)
+    cap = q.shape[0] + t.shape[0] + 2
+    cig = np.empty(cap, dtype=np.uint32)
+    n = ctypes.c_int32(0)
+    score = lib.ksw_global_c(
+        q.shape[0], q.ctypes.data_as(_U8P),
+        t.shape[0], t.ctypes.data_as(_U8P),
+        m.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        int(o_del), int(e_del), int(o_ins), int(e_ins), int(w),
+        cig.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), cap,
+        ctypes.byref(n),
+    )
+    ops = "MID"
+    return int(score), [(int(c) >> 4, ops[int(c) & 0xF]) for c in cig[: n.value]]
 
 
 def suffix_array(text: np.ndarray) -> np.ndarray:

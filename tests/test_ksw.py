@@ -182,3 +182,33 @@ def test_nm_md():
     q2 = np.concatenate([t2[:4], t2[6:]])
     nm, md = cigar_nm_md([(4, "M"), (2, "D"), (4, "M")], q2, t2)
     assert nm == 2 and md == "4^GG4"
+
+
+def test_native_ksw_global_matches_python():
+    from bioseqdb_tpu.cpu.ksw import ksw_global_py
+    from bioseqdb_tpu.index.native.build import ksw_global_native
+
+    rng = np.random.default_rng(9)
+    for _ in range(120):
+        ql = int(rng.integers(1, 60))
+        tl = int(rng.integers(max(1, ql - 8), ql + 9))
+        q, t = rand_pair(rng, ql, tl)
+        if rng.random() < 0.5 and tl >= ql:
+            t[:ql] = q
+            for _ in range(int(rng.integers(0, 4))):
+                t[int(rng.integers(0, tl))] = rng.integers(0, 4)
+        w = int(rng.integers(1, 30))
+        sp, cp = ksw_global_py(q, t, MAT, O_DEL, E_DEL, O_INS, E_INS, w)
+        sn, cn = ksw_global_native(q, t, MAT, O_DEL, E_DEL, O_INS, E_INS, w)
+        assert (sn, cn) == (sp, cp), (q, t, w)
+
+
+def test_native_ksw_global_empty_edges():
+    from bioseqdb_tpu.cpu.ksw import ksw_global_py
+    from bioseqdb_tpu.index.native.build import ksw_global_native
+
+    e = np.zeros(0, np.uint8)
+    s = np.array([0, 1, 2], np.uint8)
+    for q, t in [(e, s), (s, e), (e, e)]:
+        assert ksw_global_native(q, t, MAT, O_DEL, E_DEL, O_INS, E_INS, 10) == \
+            ksw_global_py(q, t, MAT, O_DEL, E_DEL, O_INS, E_INS, 10)
