@@ -41,6 +41,7 @@ class AlignOptions:
     mask_level_redun: float = 0.95
     xa_drop_ratio: float = 0.8   # mem_opt_t.XA_drop_ratio
     max_matesw: int = 50
+    pen_unpaired: int = 17       # mem_opt_t.pen_unpaired
 
     def __post_init__(self):
         for f in dataclasses.fields(self):

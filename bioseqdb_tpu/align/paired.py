@@ -1,0 +1,285 @@
+"""Paired-end alignment: insert-size stats, pair selection, PE SAM.
+
+The reference exposes no paired-end surface (its SQL functions are
+single-read), but its engine (libbwa) does; BASELINE.md config 3 calls
+for paired-end reads. This implements the published behavior of bwa's
+pairing layer as clean-room equivalents:
+
+- ``mem_infer_dir``: orientation + insert size from two doubled-text
+  coordinates (bwamem_pair.c semantics).
+- ``pestat``: per-orientation insert-size distributions from the batch's
+  confidently-mapped pairs — percentile fences, mean/std within fences,
+  mapping bounds (MIN_DIR_CNT 10, OUTLIER_BOUND 2, MAPPING_BOUND 3,
+  MAX_STDDEV 4).
+- ``mem_pair``: best-scoring consistent pair across the two ends'
+  candidate regions with the erfc insert-size bonus; unpaired fallback
+  with ``pen_unpaired``; PE MAPQ uplift (min(q_se+40, q_pe) rule).
+
+Mate-rescue SW (mem_matesw) is not yet implemented — pairs where one
+end is unmapped emit an unmapped-mate record rather than attempting a
+windowed rescue; noted in README status.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+from bioseqdb_tpu.align.finalize import aln_to_hit, frac_rep_of, regions_to_alnregs
+from bioseqdb_tpu.align.options import AlignOptions
+from bioseqdb_tpu.align.result import Hit, ReadResult
+from bioseqdb_tpu.cpu import oracle as O
+from bioseqdb_tpu.cpu.ksw import fill_scmat
+from bioseqdb_tpu.index.fmindex import FMIndex
+
+MIN_DIR_CNT = 10
+OUTLIER_BOUND = 2.0
+MAPPING_BOUND = 3.0
+MAX_STDDEV = 4.0
+
+
+def infer_dir(l_pac: int, b1: int, b2: int) -> tuple[int, int]:
+    """Orientation (0=FF', 1=FR, 2=RF, 3=RR-ish per bwa's encoding) and
+    insert distance from two doubled-text begin coordinates."""
+    r1, r2 = b1 >= l_pac, b2 >= l_pac
+    p2 = b2 if r1 == r2 else (l_pac << 1) - 1 - b2
+    dist = p2 - b1 if p2 > b1 else b1 - p2
+    d = (0 if r1 == r2 else 1) ^ (0 if p2 > b1 else 3)
+    return d, int(dist)
+
+
+@dataclass
+class PeStat:
+    failed: bool = True
+    low: int = 0
+    high: int = 0
+    avg: float = 0.0
+    std: float = 100.0
+
+
+def pestat(reg_pairs, opt: AlignOptions, l_pac: int) -> list[PeStat]:
+    """Insert-size statistics per orientation from best-region pairs.
+
+    ``reg_pairs``: iterable of (regs_end1, regs_end2) — mark_primary'd
+    region lists (best first).
+    """
+    isize = [[] for _ in range(4)]
+    for r1, r2 in reg_pairs:
+        if not r1 or not r2:
+            continue
+        b1, b2 = r1[0], r2[0]
+        if b1.score < opt.min_score or b2.score < opt.min_score:
+            continue
+        d, dist = infer_dir(l_pac, b1.rb, b2.rb)
+        if dist <= 0:
+            continue
+        isize[d].append(dist)
+    out = []
+    for d in range(4):
+        vals = sorted(isize[d])
+        st = PeStat()
+        if len(vals) < MIN_DIR_CNT:
+            out.append(st)
+            continue
+        n = len(vals)
+        p25 = vals[int(0.25 * n + 0.499)]
+        p50 = vals[int(0.50 * n + 0.499)]
+        p75 = vals[int(0.75 * n + 0.499)]
+        st.low = max(int(p25 - OUTLIER_BOUND * (p75 - p25) + 0.499), 1)
+        st.high = int(p75 + OUTLIER_BOUND * (p75 - p25) + 0.499)
+        inliers = [v for v in vals if st.low <= v <= st.high]
+        if not inliers:
+            out.append(st)
+            continue
+        st.avg = sum(inliers) / len(inliers)
+        st.std = math.sqrt(
+            sum((v - st.avg) ** 2 for v in inliers) / len(inliers)
+        ) or 1.0
+        st.high = int(p75 + MAPPING_BOUND * (p75 - p25) + 0.499)
+        st.low = max(int(p25 - MAPPING_BOUND * (p75 - p25) + 0.499), 1)
+        st.low = min(st.low, int(st.avg - MAX_STDDEV * st.std + 0.499))
+        st.high = max(st.high, int(st.avg + MAX_STDDEV * st.std + 0.499))
+        st.low = max(st.low, 1)
+        st.failed = False
+        out.append(st)
+    return out
+
+
+def raw_mapq(diff: int, a: int) -> int:
+    return int(6.02 * diff / a + 0.499)
+
+
+def mem_pair(
+    opt: AlignOptions, l_pac: int, pes: list[PeStat],
+    regs1: list[O.AlnReg], regs2: list[O.AlnReg],
+) -> tuple[int, int, int, tuple[int, int]]:
+    """Best consistent pair across the two ends' regions.
+
+    Returns (score, sub, n_sub, (i1, i2)); score <= 0 means no pair.
+    Scores are o = s1 + s2 + insert bonus (bwa's erfc term).
+    """
+    cands = []
+    for which, regs in ((0, regs1), (1, regs2)):
+        for i, e in enumerate(regs):
+            if e.secondary >= 0:
+                continue
+            cands.append((e.rb, which, i, e.score))
+    best = (-1, 0, 0, (-1, -1))
+    scores = []
+    for a_i, (rb1, w1, i1, s1) in enumerate(cands):
+        for rb2, w2, i2, s2 in cands:
+            if w1 == w2:
+                continue
+            if w1 == 1:
+                continue  # count each unordered pair once, end1 first
+            d, dist = infer_dir(l_pac, rb1, rb2)
+            st = pes[d]
+            if st.failed or not (st.low <= dist <= st.high):
+                continue
+            ns = (dist - st.avg) / st.std
+            q = int(
+                -4.343 * math.log10(2.0 * math.erfc(abs(ns) * (2 ** -0.5)) + 1e-300)
+                + 0.499
+            )
+            # bonus is negative-log-prob scaled; bwa caps the penalty so a
+            # consistent pair is never penalized below its SE scores
+            bonus = -q
+            scores.append((s1 + s2 + max(bonus, -opt.pen_unpaired), i1, i2))
+    if not scores:
+        return 0, 0, 0, (-1, -1)
+    scores.sort(key=lambda t: -t[0])
+    score, i1, i2 = scores[0]
+    sub = scores[1][0] if len(scores) > 1 else 0
+    tmp = opt.match_score + opt.mismatch_penalty
+    n_sub = sum(1 for s, _, _ in scores[1:] if score - s <= tmp)
+    return score, sub, n_sub, (i1, i2)
+
+
+FLAG_PAIRED = 0x1
+FLAG_PROPER = 0x2
+FLAG_UNMAPPED = 0x4
+FLAG_MUNMAP = 0x8
+FLAG_REVERSE = 0x10
+FLAG_MREVERSE = 0x20
+FLAG_READ1 = 0x40
+FLAG_READ2 = 0x80
+
+
+def finalize_pairs(
+    idx: FMIndex, opt: AlignOptions, batch1, out1, batch2, out2,
+) -> list[tuple[ReadResult, ReadResult]]:
+    """Pair the two ends of each template and produce per-end results
+    with PE flags/MAPQ. batchN/outN as in finalize_batch."""
+    mat = fill_scmat(opt.match_score, opt.mismatch_penalty)
+    max_occ = opt.resolve_max_occ(idx.n_refs)
+
+    def regs_for(batch, out, i, rid_base):
+        q = batch.codes[i, : batch.lens[i]].astype(np.uint8)
+        if out["overflow"][i]:
+            regs = O.mem_align1(idx, opt, q, rand_id=rid_base + i)
+        else:
+            frac = frac_rep_of(out["mems"][i], int(out["n_mem"][i]), max_occ,
+                               int(batch.lens[i]))
+            regs = regions_to_alnregs(out, i, frac)
+            regs = O.sort_dedup_patch(idx, opt, q, regs, mat)
+            regs = O.mark_primary(opt, regs, rid_base + i)
+        return q, regs
+
+    n = min(batch1.n, batch2.n)
+    all_regs = []
+    for i in range(n):
+        q1, r1 = regs_for(batch1, out1, i, 0)
+        q2, r2 = regs_for(batch2, out2, i, 1 << 20)
+        all_regs.append(((q1, r1), (q2, r2)))
+
+    pes = pestat(((r1, r2) for (q1, r1), (q2, r2) in all_regs), opt, idx.l_pac)
+
+    results = []
+    for i, ((q1, regs1), (q2, regs2)) in enumerate(all_regs):
+        results.append(
+            _pair_one(idx, opt, mat, pes, batch1.names[i], q1, regs1, q2, regs2)
+        )
+    return results
+
+
+def _pair_one(idx, opt, mat, pes, name, q1, regs1, q2, regs2):
+    l_pac = idx.l_pac
+    z = [0, 0]
+    paired = False
+    score = sub = n_sub = 0
+    if regs1 and regs2:
+        score, sub, n_sub, (i1, i2) = mem_pair(opt, l_pac, pes, regs1, regs2)
+        if score > 0:
+            score_un = regs1[0].score + regs2[0].score - opt.pen_unpaired
+            if score > score_un:
+                z = [i1, i2]
+                paired = True
+    ends = []
+    for r, (q, regs) in enumerate(((q1, regs1), (q2, regs2))):
+        if regs:
+            reg = regs[z[r]]
+            aln = O.reg2aln(idx, opt, q, reg, mat)
+            hit = aln_to_hit(idx, aln, reg, name, None)
+            ends.append(hit)
+        else:
+            ends.append(None)
+
+    if paired:
+        # PE MAPQ uplift (published mem_sam_pe rule)
+        score_un = regs1[0].score + regs2[0].score - opt.pen_unpaired
+        subo = max(sub, score_un)
+        q_pe = raw_mapq(score - subo, opt.match_score)
+        if n_sub > 0:
+            q_pe -= int(4.343 * math.log(n_sub + 1) + 0.499)
+        q_pe = max(0, min(60, q_pe))
+        fr = 0.5 * (regs1[0].frac_rep + regs2[0].frac_rep)
+        q_pe = int(q_pe * (1.0 - fr) + 0.499)
+        for hit in ends:
+            if hit is None:
+                continue
+            q_se = hit.mapq
+            hit.mapq = q_se if q_se > q_pe else min(q_pe, q_se + 40)
+
+    h1, h2 = ends
+    res1 = ReadResult(query_name=name, hits=[h1] if h1 else [])
+    res2 = ReadResult(query_name=name, hits=[h2] if h2 else [])
+    res1.pe = _pe_info(h1, h2, True, paired)   # type: ignore[attr-defined]
+    res2.pe = _pe_info(h2, h1, False, paired)  # type: ignore[attr-defined]
+    return res1, res2
+
+
+@dataclass
+class PEInfo:
+    flag_extra: int
+    rnext: str
+    pnext: int
+    tlen: int
+
+
+def _pe_info(this: Hit | None, mate: Hit | None, is_read1: bool,
+             proper: bool) -> PEInfo:
+    flag = FLAG_PAIRED | (FLAG_READ1 if is_read1 else FLAG_READ2)
+    rnext, pnext, tlen = "*", 0, 0
+    if mate is None:
+        flag |= FLAG_MUNMAP
+    else:
+        if mate.is_reverse:
+            flag |= FLAG_MREVERSE
+        if this is not None and mate.ref_name == this.ref_name:
+            rnext = "="
+            pnext = mate.ref_begin
+            if proper:
+                flag |= FLAG_PROPER
+                lo = min(this.ref_begin, mate.ref_begin)
+                hi = max(this.ref_end, mate.ref_end)
+                tlen = hi - lo
+                if this.ref_begin > mate.ref_begin or (
+                    this.ref_begin == mate.ref_begin and this.ref_end > mate.ref_end
+                ):
+                    tlen = -tlen
+        else:
+            rnext = mate.ref_name if mate else "*"
+            pnext = mate.ref_begin if mate else 0
+    return PEInfo(flag_extra=flag, rnext=rnext, pnext=pnext, tlen=tlen)

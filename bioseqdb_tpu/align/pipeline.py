@@ -207,6 +207,20 @@ class Aligner:
             self.index, self.options, batch, out, with_query_ids
         )
 
+    def align_pairs(self, batch1: ReadBatch, batch2: ReadBatch):
+        """Paired-end alignment of two read batches (ends of the same
+        templates, row-aligned). Returns [(ReadResult, ReadResult)] with
+        PE flags/mate info attached (align/paired.py)."""
+        if self.mode != "full":
+            raise ValueError("paired-end alignment requires mode='full'")
+        from bioseqdb_tpu.align.paired import finalize_pairs
+
+        out1 = jax.device_get(self.device_regions(batch1))
+        out2 = jax.device_get(self.device_regions(batch2))
+        return finalize_pairs(
+            self.index, self.options, batch1, out1, batch2, out2
+        )
+
     def _to_results(self, batch: ReadBatch, out: dict,
                     with_query_ids: bool) -> list[ReadResult]:
         idx = self.index

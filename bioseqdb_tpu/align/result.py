@@ -47,6 +47,7 @@ class ReadResult:
 
     query_name: str
     hits: list[Hit]
+    pe: object = None  # PEInfo when this end belongs to a pair
 
     @property
     def mapped(self) -> bool:

@@ -55,11 +55,24 @@ def _cmd_align(args) -> int:
     n = 0
     try:
         out.write(sam_header(idx, program_args=" ".join(sys.argv[1:])))
-        for batch in pack_reads_from_file(args.reads, batch_size=args.batch_size):
-            results = aligner.align_batch(batch)
-            seqs = [batch.read_text(i) for i in range(batch.n)]
-            out.write(emit_sam(results, idx, seqs, batch.qualities, header=False))
-            n += batch.n
+        if args.mate:
+            from bioseqdb_tpu.sam.emit import emit_sam_pairs
+
+            it1 = pack_reads_from_file(args.reads, batch_size=args.batch_size)
+            it2 = pack_reads_from_file(args.mate, batch_size=args.batch_size)
+            for b1, b2 in zip(it1, it2):
+                pairs = aligner.align_pairs(b1, b2)
+                s1 = [b1.read_text(i) for i in range(b1.n)]
+                s2 = [b2.read_text(i) for i in range(b2.n)]
+                out.write(emit_sam_pairs(pairs, idx, s1, s2, b1.qualities,
+                                         b2.qualities, header=False))
+                n += b1.n + b2.n
+        else:
+            for batch in pack_reads_from_file(args.reads, batch_size=args.batch_size):
+                results = aligner.align_batch(batch)
+                seqs = [batch.read_text(i) for i in range(batch.n)]
+                out.write(emit_sam(results, idx, seqs, batch.qualities, header=False))
+                n += batch.n
     finally:
         if out is not sys.stdout:
             out.close()
@@ -106,6 +119,7 @@ def main(argv=None) -> int:
     pa = sub.add_parser("align", help="align FASTA/FASTQ reads against an index")
     pa.add_argument("index")
     pa.add_argument("reads")
+    pa.add_argument("--mate", help="mate FASTA/FASTQ for paired-end alignment")
     pa.add_argument("-o", "--output", default="-")
     pa.add_argument("--batch-size", type=int, default=65536)
     pa.add_argument("--min-seed-len", type=int, default=19)

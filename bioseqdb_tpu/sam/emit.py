@@ -75,6 +75,52 @@ def sam_record(result: ReadResult, hit: Hit | None, seq: str,
     return "\t".join(fields)
 
 
+def sam_record_pe(result: ReadResult, seq: str, qual: str | None = None) -> str:
+    """One SAM line for a paired end (result.pe carries mate info)."""
+    pe = result.pe
+    qual = qual or "*"
+    hit = result.primary
+    if hit is None:
+        rnext = pe.rnext if pe else "*"
+        pnext = (pe.pnext + 1) if pe and pe.rnext != "*" else 0
+        flag = FLAG_UNMAPPED | (pe.flag_extra if pe else 0)
+        return "\t".join([
+            result.query_name, str(flag), "*", "0", "0", "*",
+            rnext, str(pnext), "0", seq, qual,
+        ])
+    flag = hit_flag(hit) | (pe.flag_extra if pe else 0)
+    out_seq = revcomp(seq) if hit.is_reverse else seq
+    out_qual = qual if qual == "*" else (qual[::-1] if hit.is_reverse else qual)
+    return "\t".join([
+        result.query_name,
+        str(flag),
+        hit.ref_name,
+        str(hit.ref_begin + 1),
+        str(hit.mapq),
+        hit.cigar,
+        pe.rnext if pe else "*",
+        str(pe.pnext + 1) if pe and pe.rnext != "*" else "0",
+        str(pe.tlen) if pe else "0",
+        out_seq,
+        out_qual,
+        f"AS:i:{hit.score}",
+        f"NM:i:{hit.nm}",
+    ])
+
+
+def emit_sam_pairs(pair_results, index: FMIndex, seqs1, seqs2,
+                   quals1=None, quals2=None, header: bool = True,
+                   program_args: str = "") -> str:
+    """Render paired results ((res1, res2) per template) to SAM text."""
+    out = [sam_header(index, program_args)] if header else []
+    for i, (r1, r2) in enumerate(pair_results):
+        q1 = quals1[i] if quals1 else None
+        q2 = quals2[i] if quals2 else None
+        out.append(sam_record_pe(r1, seqs1[i], q1) + "\n")
+        out.append(sam_record_pe(r2, seqs2[i], q2) + "\n")
+    return "".join(out)
+
+
 def emit_sam(results: Iterable[ReadResult], index: FMIndex, seqs: list[str],
              quals: list[str] | None = None, header: bool = True,
              program_args: str = "") -> str:

@@ -36,6 +36,56 @@ class SimulatedReads:
     n_subs: np.ndarray      # substitutions injected per read
 
 
+def simulate_pairs(
+    genome: str,
+    n_pairs: int,
+    read_len: int = 150,
+    insert_mean: float = 400.0,
+    insert_std: float = 50.0,
+    sub_rate: float = 0.0,
+    seed: int = 0,
+    name_prefix: str = "pair",
+):
+    """FR-orientation paired reads: R1 forward at p, R2 = revcomp of the
+    fragment end. Returns (SimulatedReads r1, SimulatedReads r2,
+    insert_sizes)."""
+    rng = np.random.default_rng(seed)
+    L = len(genome)
+    inserts = np.clip(
+        rng.normal(insert_mean, insert_std, n_pairs), 2 * read_len, L - 1
+    ).astype(np.int64)
+    starts = rng.integers(0, L - inserts.max() - 1, size=n_pairs)
+    g = np.frombuffer(genome.encode("ascii"), dtype=np.uint8)
+    lut = np.zeros(256, dtype=np.uint8)
+    for i, c in enumerate(b"ACGT"):
+        lut[c] = i
+    gc = lut[g]
+
+    def make(pos, rc):
+        codes = gc[pos : pos + read_len].copy()
+        if sub_rate > 0:
+            m = rng.random(read_len) < sub_rate
+            codes[m] = (codes[m] + rng.integers(1, 4, size=int(m.sum()))) % 4
+        if rc:
+            codes = (3 - codes)[::-1]
+        return _BASES[codes].tobytes().decode("ascii")
+
+    r1, r2 = [], []
+    p2s = np.zeros(n_pairs, dtype=np.int64)
+    for i in range(n_pairs):
+        p1 = int(starts[i])
+        p2 = p1 + int(inserts[i]) - read_len
+        p2s[i] = p2
+        r1.append(make(p1, False))
+        r2.append(make(p2, True))
+    names = [f"{name_prefix}{i}" for i in range(n_pairs)]
+    sr1 = SimulatedReads(reads=r1, names=names, positions=starts.astype(np.int64),
+                         strands=np.zeros(n_pairs, bool), n_subs=np.zeros(n_pairs, np.int32))
+    sr2 = SimulatedReads(reads=r2, names=names, positions=p2s,
+                         strands=np.ones(n_pairs, bool), n_subs=np.zeros(n_pairs, np.int32))
+    return sr1, sr2, inserts
+
+
 def simulate_reads(
     genome: str,
     n_reads: int,

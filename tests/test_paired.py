@@ -1,0 +1,146 @@
+"""Paired-end alignment tests: pestat, pairing, PE SAM."""
+
+import numpy as np
+import pytest
+
+from bioseqdb_tpu.align.options import AlignOptions
+from bioseqdb_tpu.align.paired import PeStat, infer_dir, pestat
+from bioseqdb_tpu.align.pipeline import Aligner
+from bioseqdb_tpu.index.builder import build_index
+from bioseqdb_tpu.io.batch import pack_reads
+from bioseqdb_tpu.sam.emit import emit_sam_pairs
+from bioseqdb_tpu.utils.sim import simulate_genome, simulate_pairs
+
+
+@pytest.fixture(scope="module")
+def setup():
+    g = simulate_genome(60_000, seed=71)
+    idx = build_index([("ref", g)])
+    r1, r2, inserts = simulate_pairs(
+        g, 48, read_len=100, insert_mean=350, insert_std=30, sub_rate=0.01,
+        seed=72,
+    )
+    return g, idx, r1, r2, inserts
+
+
+def test_infer_dir_fr():
+    # forward read at 100, reverse-strand mate: FR orientation, dist = insert
+    l_pac = 10_000
+    b1 = 100
+    b2 = (2 * l_pac) - (100 + 400)  # mate's doubled coord (reverse strand)
+    d, dist = infer_dir(l_pac, b1, b2)
+    assert dist == 399
+    d2, dist2 = infer_dir(l_pac, b2, b1)
+    assert dist2 == 399
+
+
+def test_pair_alignment_end_to_end(setup):
+    g, idx, r1, r2, inserts = setup
+    al = Aligner.build(idx, AlignOptions(), mode="full")
+    b1 = pack_reads(r1.reads, r1.names)
+    b2 = pack_reads(r2.reads, r2.names)
+    pairs = al.align_pairs(b1, b2)
+    assert len(pairs) == 48
+    proper = 0
+    for i, (res1, res2) in enumerate(pairs):
+        assert res1.mapped and res2.mapped
+        h1, h2 = res1.primary, res2.primary
+        assert h1.ref_begin == r1.positions[i]
+        assert h2.ref_begin == r2.positions[i]
+        assert not h1.is_reverse and h2.is_reverse
+        if res1.pe.flag_extra & 0x2:
+            proper += 1
+            # TLEN symmetric with opposite signs
+            assert res1.pe.tlen == -res2.pe.tlen
+            assert abs(res1.pe.tlen) == inserts[i]
+    assert proper >= 40  # most pairs flagged proper
+
+
+def test_pe_flags_and_sam(setup):
+    # pairing statistics need >= MIN_DIR_CNT pairs in the batch, so run
+    # the full batch and inspect the first 8 templates
+    g, idx, r1, r2, _ = setup
+    al = Aligner.build(idx, AlignOptions(), mode="full")
+    b1 = pack_reads(r1.reads, r1.names)
+    b2 = pack_reads(r2.reads, r2.names)
+    pairs = al.align_pairs(b1, b2)[:8]
+    sam = emit_sam_pairs(pairs, idx, r1.reads[:8], r2.reads[:8])
+    body = [l for l in sam.strip().split("\n") if not l.startswith("@")]
+    assert len(body) == 16
+    for j, line in enumerate(body):
+        f = line.split("\t")
+        flag = int(f[1])
+        assert flag & 0x1  # paired
+        if j % 2 == 0:
+            assert flag & 0x40 and not flag & 0x80
+        else:
+            assert flag & 0x80 and not flag & 0x40
+        assert f[6] == "="  # same-reference mate
+        assert int(f[8]) != 0  # TLEN set
+    # mate coordinates cross-reference each other (1-based)
+    a, b = body[0].split("\t"), body[1].split("\t")
+    assert int(a[7]) == int(b[3]) and int(b[7]) == int(a[3])
+
+
+def test_pestat_statistics(setup):
+    g, idx, r1, r2, inserts = setup
+    al = Aligner.build(idx, AlignOptions(), mode="full")
+    # build regs via the pairing entry (pestat is exercised inside), but
+    # also test the function directly with synthetic regions
+    from bioseqdb_tpu.cpu.oracle import AlnReg
+
+    l_pac = idx.l_pac
+    pairs = []
+    rng = np.random.default_rng(0)
+    for _ in range(40):
+        ins = int(rng.normal(300, 20))
+        p = int(rng.integers(0, l_pac - 600))
+        r1_ = AlnReg(rb=p, re=p + 100, qb=0, qe=100, score=100)
+        mate_fwd_end = p + ins
+        rb2 = 2 * l_pac - mate_fwd_end
+        r2_ = AlnReg(rb=rb2, re=rb2 + 100, qb=0, qe=100, score=100)
+        pairs.append(([r1_], [r2_]))
+    pes = pestat(pairs, AlignOptions(), l_pac)
+    ok = [p for p in pes if not p.failed]
+    assert len(ok) == 1
+    st = ok[0]
+    assert 260 <= st.avg <= 340
+    assert st.low < 300 < st.high
+
+
+def test_unmapped_mate(setup):
+    g, idx, r1, r2, _ = setup
+    al = Aligner.build(idx, AlignOptions(), mode="full")
+    junk = "N" * 100
+    b1 = pack_reads([r1.reads[0]], ["p"])
+    b2 = pack_reads([junk], ["p"])
+    (res1, res2), = al.align_pairs(b1, b2)
+    assert res1.mapped and not res2.mapped
+    assert res1.pe.flag_extra & 0x8   # mate unmapped
+    sam = emit_sam_pairs([(res1, res2)], idx, [r1.reads[0]], [junk], header=False)
+    l1, l2 = sam.strip().split("\n")
+    assert int(l2.split("\t")[1]) & 0x4
+
+
+def test_cli_paired(tmp_path, setup):
+    g, idx, r1, r2, _ = setup
+    from bioseqdb_tpu.cli import main
+    from bioseqdb_tpu.io.fasta import FastaRecord, write_fastq
+
+    idx.save(str(tmp_path / "idx"))
+    write_fastq(tmp_path / "r1.fq",
+                [FastaRecord(n, n, s, "I" * len(s)) for n, s in
+                 zip(r1.names[:6], r1.reads[:6])])
+    write_fastq(tmp_path / "r2.fq",
+                [FastaRecord(n, n, s, "I" * len(s)) for n, s in
+                 zip(r2.names[:6], r2.reads[:6])])
+    rc = main([
+        "align", str(tmp_path / "idx"), str(tmp_path / "r1.fq"),
+        "--mate", str(tmp_path / "r2.fq"),
+        "-o", str(tmp_path / "out.sam"), "--cpu",
+    ])
+    assert rc == 0
+    body = [l for l in (tmp_path / "out.sam").read_text().splitlines()
+            if not l.startswith("@")]
+    assert len(body) == 12
+    assert all(int(l.split("\t")[1]) & 0x1 for l in body)
