@@ -2,72 +2,132 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline = the north-star target of 1,000,000 150bp reads/s/chip on
-TPU v5e (BASELINE.md; the reference publishes no numbers of its own —
-its ceiling is single-core bwa-mem minus per-call index rebuild).
+TPU v5e (BASELINE.md; the reference publishes no numbers — its ceiling
+is single-core bwa-mem minus per-call index rebuild).
 
-Current scope: the exact-match end-to-end path (backward search + SA
-resolution + coordinate rebase) on an E. coli-scale synthetic genome
-(BASELINE.md config 2 shapes; mismatched-read SW extension lands next).
+Measures the FULL BWA-MEM pipeline (SMEM seeding, chaining, banded-SW
+extension on device; dedup/MAPQ/CIGAR finalize on host) on an
+E. coli-scale synthetic index with 1%-mutated reads — BASELINE.md
+config 2. Device dispatch is async, so host finalize of batch N
+overlaps device compute of batch N+1. Falls back to the exact-match
+fast path if the full pipeline fails to compile within this
+environment's remote-compile budget.
+
+Uses a persistent compilation cache (.jax_cache) — the first-ever run
+pays one slow remote compile; later runs start in seconds. Timing
+forces jax.device_get (block_until_ready is unreliable through the
+axon relay).
 """
 
 import json
 import sys
 import time
 
-import numpy as np
+
+def _log(*a):
+    print("[bench]", *a, file=sys.stderr, flush=True)
 
 
-def main() -> int:
-    import jax
+def bench_full(jax, idx, genome, batch_size=2048, n_batches=4):
+    import numpy as np
+
+    from bioseqdb_tpu.align.finalize import finalize_batch
+    from bioseqdb_tpu.align.options import AlignOptions
+    from bioseqdb_tpu.align.pipeline import Aligner
+    from bioseqdb_tpu.io.batch import pack_reads
+    from bioseqdb_tpu.utils.sim import simulate_reads
+
+    al = Aligner.build(idx, AlignOptions(), mode="full")
+    batches = []
+    sims = []
+    for k in range(n_batches):
+        sim = simulate_reads(genome, batch_size, read_len=150, sub_rate=0.01,
+                             seed=100 + k)
+        sims.append(sim)
+        batches.append(pack_reads(sim.reads, sim.names))
+
+    t0 = time.time()
+    out = jax.device_get(al.device_regions(batches[0]))
+    _log(f"full-pipeline compile+first batch: {time.time() - t0:.1f}s")
+
+    # timed: overlap device compute (async dispatch) with host finalize
+    t0 = time.time()
+    pending = al.device_regions(batches[0])
+    results = []
+    for k in range(n_batches):
+        nxt = al.device_regions(batches[k + 1]) if k + 1 < n_batches else None
+        out = jax.device_get(pending)
+        results.append(finalize_batch(idx, al.options, batches[k], out))
+        pending = nxt
+    dt = time.time() - t0
+    total = batch_size * n_batches
+
+    ok = 0
+    for res, sim in zip(results, sims):
+        for r, p, s in zip(res, sim.positions, sim.strands):
+            if r.mapped and r.primary.ref_begin == p and r.primary.is_reverse == bool(s):
+                ok += 1
+    _log(f"truth: {ok}/{total}")
+    assert ok >= 0.98 * total, "bench correctness check failed"
+    return total / dt
+
+
+def bench_exact(jax, idx, genome, batch=16384, iters=5):
+    import numpy as np
     import jax.numpy as jnp
 
     from bioseqdb_tpu.align.pipeline import exact_align_step
-    from bioseqdb_tpu.index.builder import build_index
     from bioseqdb_tpu.io.batch import pack_reads
     from bioseqdb_tpu.kernels import fm as kfm
-    from bioseqdb_tpu.utils.sim import simulate_genome, simulate_reads
+    from bioseqdb_tpu.utils.sim import simulate_reads
 
-    genome_len = 4_600_000   # E. coli K-12 scale
-    read_len = 150
-    batch = 16384
-    iters = 5
-    max_hits = 4
-
-    t0 = time.time()
-    genome = simulate_genome(genome_len, seed=1)
-    idx = build_index([("ecoli", genome)])
-    print(f"[bench] index built in {time.time() - t0:.1f}s", file=sys.stderr)
-
-    sim = simulate_reads(genome, batch, read_len=read_len, sub_rate=0.0, seed=2)
+    sim = simulate_reads(genome, batch, read_len=150, sub_rate=0.0, seed=2)
     rb = pack_reads(sim.reads, sim.names)
     fm = kfm.FMDevice.from_host(idx)
     codes = jnp.asarray(rb.codes, jnp.int32)
     lens = jnp.asarray(rb.lens, jnp.int32)
-
-    # warm up / compile; fetch results to drain the dispatch queue —
-    # block_until_ready is unreliable through the axon remote relay,
-    # so timing always forces a device_get roundtrip.
-    out = jax.device_get(exact_align_step(fm, codes, lens, max_hits))
-    print(f"[bench] compiled; device={jax.devices()[0]}", file=sys.stderr)
-
+    out = jax.device_get(exact_align_step(fm, codes, lens, 4))
     t0 = time.time()
     for _ in range(iters):
-        out = jax.device_get(exact_align_step(fm, codes, lens, max_hits))
+        out = jax.device_get(exact_align_step(fm, codes, lens, 4))
     dt = time.time() - t0
-    reads_per_s = batch * iters / dt
-
-    # sanity: all reads must map to their simulated origin
     n_hits = np.asarray(out["n_hits"])[: rb.n]
-    assert (n_hits >= 1).all(), "bench correctness check failed: unmapped reads"
+    assert (n_hits >= 1).all()
+    return batch * iters / dt
 
-    print(
-        json.dumps({
-            "metric": "150bp exact-match reads aligned/s/chip (E.coli-scale index)",
-            "value": round(reads_per_s),
-            "unit": "reads/s",
-            "vs_baseline": round(reads_per_s / 1_000_000, 4),
-        })
-    )
+
+def main() -> int:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      __file__.rsplit("/", 1)[0] + "/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from bioseqdb_tpu.index.builder import build_index
+    from bioseqdb_tpu.utils.sim import simulate_genome
+
+    genome_len = 4_600_000  # E. coli K-12 scale
+    t0 = time.time()
+    genome = simulate_genome(genome_len, seed=1)
+    idx = build_index([("ecoli", genome)])
+    _log(f"index built in {time.time() - t0:.1f}s; device={jax.devices()[0]}")
+
+    try:
+        rps = bench_full(jax, idx, genome)
+        metric = ("150bp reads/s/chip, full BWA-MEM pipeline "
+                  "(1% mutated reads, E.coli-scale index)")
+    except Exception as e:  # compile budget / tunnel flakes: keep a result
+        _log(f"full-pipeline bench failed ({type(e).__name__}: {e}); "
+             "falling back to exact-match path")
+        rps = bench_exact(jax, idx, genome)
+        metric = "150bp exact-match reads/s/chip (E.coli-scale index)"
+
+    print(json.dumps({
+        "metric": metric,
+        "value": round(rps),
+        "unit": "reads/s",
+        "vs_baseline": round(rps / 1_000_000, 4),
+    }))
     return 0
 
 

@@ -86,22 +86,44 @@ def _cmd_align(args) -> int:
 
 
 def _cmd_import(args) -> int:
+    """Bulk ingest with a per-shard manifest so interrupted imports
+    resume (SURVEY.md §5: batch-granular recovery — unlike the
+    reference's all-or-nothing single transaction, main.cpp:46,73)."""
+    import json
+
     import numpy as np
 
     from bioseqdb_tpu.io.batch import pack_reads_from_file
 
     os.makedirs(args.output, exist_ok=True)
+    manifest_path = os.path.join(args.output, "manifest.json")
+    done: dict = {}
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as fh:
+            done = json.load(fh).get("shards", {})
+        print(f"[bioseqdb-tpu] resuming: {len(done)} shard(s) present",
+              file=sys.stderr)
     n = 0
+    shards = dict(done)
     for i, batch in enumerate(
         pack_reads_from_file(args.reads, batch_size=args.batch_size)
     ):
-        path = os.path.join(args.output, f"shard{i:05d}.npz")
+        name = f"shard{i:05d}.npz"
+        path = os.path.join(args.output, name)
+        if name in done and os.path.exists(path):
+            n += batch.n
+            continue
+        tmp = path + ".tmp"
         np.savez_compressed(
-            path, codes=batch.codes, lens=batch.lens,
+            tmp, codes=batch.codes, lens=batch.lens,
             names=np.array(batch.names),
         )
+        os.replace(tmp, path)
+        shards[name] = batch.n
+        with open(manifest_path, "w") as fh:
+            json.dump({"source": str(args.reads), "shards": shards}, fh)
         n += batch.n
-        print(f"[bioseqdb-tpu] wrote {path} ({batch.n} reads)", file=sys.stderr)
+        print(f"[bioseqdb-tpu] wrote {name} ({batch.n} reads)", file=sys.stderr)
     print(f"[bioseqdb-tpu] imported {n} reads", file=sys.stderr)
     return 0
 
