@@ -113,12 +113,13 @@ def _cmd_import(args) -> int:
         if name in done and os.path.exists(path):
             n += batch.n
             continue
+        # np.savez appends ".npz" when the name lacks it — account for that
         tmp = path + ".tmp"
         np.savez_compressed(
             tmp, codes=batch.codes, lens=batch.lens,
             names=np.array(batch.names),
         )
-        os.replace(tmp, path)
+        os.replace(tmp + ".npz", path)
         shards[name] = batch.n
         with open(manifest_path, "w") as fh:
             json.dump({"source": str(args.reads), "shards": shards}, fh)
