@@ -172,7 +172,9 @@ def test_cli_end_to_end(tmp_path):
     import numpy as np
     import os
 
-    shards = sorted(os.listdir(tmp_path / "shards"))
+    shards = sorted(f for f in os.listdir(tmp_path / "shards")
+                    if f.endswith(".npz"))
     assert len(shards) == 2
+    assert (tmp_path / "shards" / "manifest.json").exists()  # resume manifest
     z = np.load(tmp_path / "shards" / shards[0])
     assert z["codes"].shape[0] >= 16
