@@ -1,0 +1,86 @@
+"""BWT-interval-sharded index: sharded rank ops equal the unsharded path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from bioseqdb_tpu.dist.shard_index import (
+    FMSharded,
+    backward_search_sharded,
+    sa_resolve_sharded,
+    shard_index,
+)
+from bioseqdb_tpu.index.builder import build_index
+from bioseqdb_tpu.io.batch import pack_reads
+from bioseqdb_tpu.kernels import fm as kfm
+from bioseqdb_tpu.utils.sim import simulate_genome, simulate_reads
+
+
+@pytest.fixture(scope="module")
+def setup():
+    g = simulate_genome(30_000, seed=81)
+    idx = build_index([("ref", g)])
+    mesh = Mesh(np.array(jax.devices()[:4]), axis_names=("index",))
+    fm = kfm.FMDevice.from_host(idx)
+    fms = shard_index(idx, mesh)
+    return g, idx, mesh, fm, fms
+
+
+def test_sharding_layout(setup):
+    g, idx, mesh, fm, fms = setup
+    assert fms.blocks.shape[0] == 4
+    assert fms.blocks.shape[0] * fms.blocks.shape[1] >= idx.blocks.shape[0]
+    # each device holds exactly one row-range shard of the table
+    assert len(fms.blocks.sharding.device_set) == 4
+    # the replicated arrays are everywhere
+    assert len(fms.sa_sample.sharding.device_set) == 4
+
+
+def test_backward_search_sharded_agrees(setup):
+    g, idx, mesh, fm, fms = setup
+    sim = simulate_reads(g, 32, read_len=90, sub_rate=0.02, seed=2)
+    batch = pack_reads(sim.reads, sim.names)
+    codes = jnp.asarray(batch.codes, jnp.int32)
+    lens = jnp.asarray(batch.lens, jnp.int32)
+    lo_u, hi_u = kfm.backward_search(fm, codes, lens)
+    lo_s, hi_s = backward_search_sharded(fms, codes, lens, mesh)
+    assert np.array_equal(np.asarray(lo_u), np.asarray(lo_s))
+    assert np.array_equal(np.asarray(hi_u), np.asarray(hi_s))
+
+
+def test_sa_resolve_sharded_agrees(setup):
+    g, idx, mesh, fm, fms = setup
+    rng = np.random.default_rng(3)
+    ranks = jnp.asarray(rng.integers(1, idx.seq_len + 1, 512), jnp.int32)
+    got = np.asarray(sa_resolve_sharded(fms, ranks, mesh))
+    want = np.asarray(kfm.sa_resolve(fm, ranks))
+    assert np.array_equal(got, want)
+
+
+def test_sharded_end_to_end_positions(setup):
+    g, idx, mesh, fm, fms = setup
+    sim = simulate_reads(g, 16, read_len=80, seed=4)
+    batch = pack_reads(sim.reads, sim.names)
+    codes = jnp.asarray(batch.codes, jnp.int32)
+    lens = jnp.asarray(batch.lens, jnp.int32)
+    lo, hi = backward_search_sharded(fms, codes, lens, mesh)
+    pos = np.asarray(sa_resolve_sharded(fms, lo, mesh))
+    for i in range(16):
+        assert hi[i] - lo[i] >= 1
+        fwd, rev = idx.depos(int(pos[i]), 80)
+        assert fwd == sim.positions[i] and rev == bool(sim.strands[i])
+
+
+def test_uneven_shard_count(setup):
+    # 3 shards: row padding exercised
+    g, idx, _, fm, _ = setup
+    mesh3 = Mesh(np.array(jax.devices()[:3]), axis_names=("index",))
+    fms3 = shard_index(idx, mesh3)
+    rng = np.random.default_rng(5)
+    ranks = jnp.asarray(rng.integers(1, idx.seq_len + 1, 128), jnp.int32)
+    got = np.asarray(sa_resolve_sharded(fms3, ranks, mesh3))
+    want = np.asarray(kfm.sa_resolve(fm, ranks))
+    assert np.array_equal(got, want)
