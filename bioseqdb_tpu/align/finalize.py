@@ -95,14 +95,33 @@ def finalize_read(
     regs = O.sort_dedup_patch(idx, opt, q, regs, mat)
     regs = O.mark_primary(opt, regs, rand_id)
     hits: list[Hit] = []
+    xa: list[str] = []
     for r in regs:
         if r.score < opt.min_score:
             continue
-        if not all_hits and r.secondary >= 0:
-            continue
+        if r.secondary >= 0:
+            # XA_drop_ratio gate relative to the primary it shadows
+            prim = regs[r.secondary]
+            if r.score < prim.score * opt.xa_drop_ratio:
+                continue
+            if not all_hits:
+                # bwa-mem default output: alternates go to the primary's
+                # XA:Z: tag instead of separate records
+                aln = O.reg2aln(idx, opt, q, r, mat)
+                from bioseqdb_tpu.cpu.ksw import cigar_to_string
+
+                strand = "-" if aln.is_rev else "+"
+                xa.append(
+                    f"{idx.ref_names[aln.rid]},{strand}{aln.pos + 1},"
+                    f"{cigar_to_string(aln.cigar)},{aln.NM}"
+                )
+                continue
         aln = O.reg2aln(idx, opt, q, r, mat)
         hits.append(aln_to_hit(idx, aln, r, name, query_id))
-    return ReadResult(query_name=name, hits=hits)
+    res = ReadResult(query_name=name, hits=hits)
+    if xa and hits and len(xa) <= opt.max_xa_hits:
+        hits[0].xa = ";".join(xa) + ";"
+    return res
 
 
 def finalize_batch(

@@ -40,6 +40,7 @@ class AlignOptions:
     mask_level: float = 0.5
     mask_level_redun: float = 0.95
     xa_drop_ratio: float = 0.8   # mem_opt_t.XA_drop_ratio
+    max_xa_hits: int = 5         # mem_opt_t.max_XA_hits
     max_matesw: int = 50
     pen_unpaired: int = 17       # mem_opt_t.pen_unpaired
 

@@ -31,6 +31,7 @@ class Hit:
     nm: int = 0          # edit distance (SAM NM tag)
     md: str = ""         # SAM MD tag ("" = not computed)
     rid: int = -1        # internal reference row index
+    xa: str = ""         # SAM XA tag payload (alternate hits), "" = none
 
     @property
     def ref_match_len(self) -> int:

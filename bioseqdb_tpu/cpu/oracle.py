@@ -868,7 +868,12 @@ def align_read(
     for r in regs:
         if r.score < min_score:
             continue
-        if not all_hits and r.secondary >= 0:
-            continue
+        if r.secondary >= 0:
+            # mem_reg2sam's XA_drop_ratio gate relative to the shadowing
+            # primary applies in both output modes
+            if r.score < regs[r.secondary].score * opt.xa_drop_ratio:
+                continue
+            if not all_hits:
+                continue
         out.append(reg2aln(idx, opt, q, r, mat))
     return out

@@ -104,9 +104,14 @@ def occ4B(fm: FMDevice, r: jnp.ndarray) -> jnp.ndarray:
 
 
 def backward_ext(fm: FMDevice, lo, hi, c):
-    """Extend pattern interval [lo, hi) by prepending code c. Batched."""
+    """Extend pattern interval [lo, hi) by prepending code c. Batched.
+
+    The two rank queries issue as ONE fused gather (half the fixed
+    per-step gather-kernel cost of separate calls)."""
     C = fm.L2[c] + 1
-    return C + occB(fm, c, lo), C + occB(fm, c, hi)
+    both = occB(fm, jnp.concatenate([c, c]), jnp.concatenate([lo, hi]))
+    n = lo.shape[0]
+    return C + both[:n], C + both[n:]
 
 
 def backward_search(fm: FMDevice, codes: jnp.ndarray, lens: jnp.ndarray):
@@ -144,9 +149,12 @@ def fmd_extend_back(fm: FMDevice, k, l, s):
 
     k, l, s: int32[...]; returns (k4, l4, s4) of shape (..., 4) —
     bi-intervals of c+P for each code c (bwa bwt_extend, is_back=1).
+    Both rank queries issue as one fused gather.
     """
-    o1 = occ4B(fm, k)
-    o2 = occ4B(fm, k + s)
+    both = occ4B(fm, jnp.concatenate([k.reshape(-1), (k + s).reshape(-1)]))
+    n = k.size
+    o1 = both[:n].reshape(k.shape + (4,))
+    o2 = both[n:].reshape(k.shape + (4,))
     cnt = o2 - o1
     k4 = (fm.L2[:4] + 1) + o1
     dollar = ((k <= fm.primary) & (fm.primary < k + s)).astype(jnp.int32)

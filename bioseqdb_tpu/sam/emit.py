@@ -72,6 +72,10 @@ def sam_record(result: ReadResult, hit: Hit | None, seq: str,
         f"AS:i:{hit.score}",
         f"NM:i:{getattr(hit, 'nm', 0)}",
     ]
+    if getattr(hit, "md", ""):
+        fields.append(f"MD:Z:{hit.md}")
+    if getattr(hit, "xa", ""):
+        fields.append(f"XA:Z:{hit.xa}")
     return "\t".join(fields)
 
 

@@ -129,3 +129,26 @@ def test_multi_ref(setup):
         truth_name = "chrA" if i < 6 else "chrB"
         assert prim.ref_name == truth_name
         assert prim.ref_id == (5 if i < 6 else 9)
+
+
+def test_bwa_style_output_with_xa_tag(setup):
+    # primary-only mode folds alternates into the primary's XA tag
+    g, idx = setup
+    from bioseqdb_tpu.align.finalize import finalize_batch
+    from bioseqdb_tpu.io.batch import pack_reads
+    from bioseqdb_tpu.sam.emit import emit_sam
+    import jax
+
+    read = g[8000:8120]  # inside the duplicated repeat: two equal hits
+    al = Aligner.build(idx, AlignOptions(), mode="full")
+    batch = pack_reads([read], ["rep"])
+    out = jax.device_get(al.device_regions(batch))
+    res = finalize_batch(idx, al.options, batch, out, all_hits=False)[0]
+    assert len(res.hits) == 1
+    h = res.hits[0]
+    assert h.is_primary and h.xa
+    assert h.xa.count(";") == 1
+    alt = h.xa.split(",")
+    assert alt[0] == "ref" and alt[1][0] in "+-"
+    sam = emit_sam([res], idx, [read], header=False)
+    assert "XA:Z:" in sam
