@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from bioseqdb_tpu.kernels import fm as kfm
+from bioseqdb_tpu.kernels.loops import chunked_while
 from bioseqdb_tpu.kernels.sw import sw_extend_batch
 
 NEG = jnp.int32(-(1 << 30))
@@ -229,8 +230,8 @@ def extend_all(
             _, decided = state
             return jnp.any(~decided)
 
-        cursor, _ = jax.lax.while_loop(
-            scan_cond, scan_body, (cursor, jnp.zeros(B, jnp.bool_))
+        cursor, _ = chunked_while(
+            scan_cond, scan_body, (cursor, jnp.zeros(B, jnp.bool_)), chunk=8
         )
         slot = jnp.take_along_axis(
             order, jnp.clip(cursor, 0, S - 1)[:, None], axis=1

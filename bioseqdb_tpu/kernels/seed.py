@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from bioseqdb_tpu.kernels import fm as kfm
+from bioseqdb_tpu.kernels.loops import chunked_while
 
 # phases
 PH_PIVOT = 0   # choose the next pivot / round transition
@@ -54,17 +55,25 @@ def collect_seeds_device(
     max_mem_intv: int,
     max_cand: int = 24,
     max_mem: int = 48,
+    max_iters: int = 0,
 ):
     """Run all three seeding rounds for a batch of reads.
+
+    ``max_iters`` (0 = 10*W + 256) caps per-lane state-machine steps:
+    pathological repeat-heavy lanes otherwise stretch the whole batch's
+    while_loop tail (every lane pays for the slowest). Capped lanes set
+    ``overflow`` and fall back to the host oracle.
 
     Returns dict with
       mems:  int32[B, max_mem, 5] — (k, l, s, start, end) per seed
       n_mem: int32[B]
-      overflow: bool[B] — candidate/output caps exceeded (fall back to host)
+      overflow: bool[B] — caps exceeded (fall back to host)
     """
     B, W = codes.shape
     P, M = max_cand, max_mem
     i32 = jnp.int32
+    if max_iters <= 0:
+        max_iters = 10 * W + 256
 
     st = dict(
         phase=jnp.zeros(B, i32),
@@ -87,6 +96,7 @@ def collect_seeds_device(
         n_mem_r1=jnp.zeros(B, i32),               # count after round 1
         r2i=jnp.zeros(B, i32),                    # round-2 source mem index
         last_start=jnp.full(B, W + 1, i32),       # containment check state
+        iters=jnp.zeros(B, i32),
         overflow=jnp.zeros(B, jnp.bool_),
     )
     # lanes with no bases never run
@@ -119,6 +129,13 @@ def collect_seeds_device(
         return jnp.any(st["phase"] != PH_DONE)
 
     def body(st):
+        # per-lane step budget: cap pathological lanes (overflow -> host)
+        over_budget = (st["phase"] != PH_DONE) & (st["iters"] >= max_iters)
+        st = dict(st)
+        st["overflow"] = st["overflow"] | over_budget
+        st["phase"] = jnp.where(over_budget, PH_DONE, st["phase"])
+        st["iters"] = st["iters"] + (st["phase"] != PH_DONE).astype(i32)
+
         phase = st["phase"]
         rnd = st["round"]
         x, i, j = st["x"], st["i"], st["j"]
@@ -316,5 +333,5 @@ def collect_seeds_device(
 
         return new
 
-    st = jax.lax.while_loop(cond, body, st)
+    st = chunked_while(cond, body, st)
     return dict(mems=st["mems"], n_mem=st["n_mem"], overflow=st["overflow"])

@@ -27,6 +27,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from bioseqdb_tpu.kernels.loops import chunked_while
+
 NEG_INF = jnp.int32(-(1 << 30))
 
 
@@ -236,7 +238,7 @@ def sw_extend_batch(
             active=active & ~terminated,
         )
 
-    st = jax.lax.while_loop(cond, body, state)
+    st = chunked_while(cond, body, state)
     return dict(
         score=st["max"],
         qle=st["max_j"] + 1,
