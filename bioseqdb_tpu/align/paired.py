@@ -157,6 +157,81 @@ def mem_pair(
     return score, sub, n_sub, (i1, i2)
 
 
+def mem_matesw(
+    idx: FMIndex, opt: AlignOptions, pes: list[PeStat], anchor: O.AlnReg,
+    mate_codes: np.ndarray, mate_regs: list[O.AlnReg], mat: np.ndarray,
+) -> int:
+    """Mate rescue (mem_matesw): when no mate region lands at a
+    pairing-consistent distance from ``anchor``, run local SW of the
+    mate (or its revcomp) inside each viable insert window and insert
+    any hit scoring >= min_seed_len into ``mate_regs`` (sorted by
+    score). Returns the number of rescued regions."""
+    from bioseqdb_tpu.index.native.build import ksw_local_native
+
+    l_pac = idx.l_pac
+    l_ms = len(mate_codes)
+    skip = [st.failed for st in pes]
+    for m in mate_regs:
+        d, dist = infer_dir(l_pac, anchor.rb, m.rb)
+        if not pes[d].failed and pes[d].low <= dist <= pes[d].high:
+            skip[d] = True
+    if all(skip):
+        return 0
+    n = 0
+    for r in range(4):
+        if skip[r]:
+            continue
+        is_rev = (r >> 1) != (r & 1)
+        is_larger = not (r >> 1)
+        seq = mate_codes
+        if is_rev:
+            seq = np.where(mate_codes < 4, 3 - mate_codes, 4)[::-1].astype(np.uint8)
+        if not is_rev:
+            rb = anchor.rb + (pes[r].low if is_larger else -pes[r].high)
+            re = anchor.rb + (pes[r].high if is_larger else -pes[r].low) + l_ms
+        else:
+            rb = anchor.rb + (pes[r].low if is_larger else -pes[r].high) - l_ms
+            re = anchor.rb + (pes[r].high if is_larger else -pes[r].low)
+        rb = max(rb, 0)
+        re = min(re, 2 * l_pac)
+        if rb >= re:
+            continue
+        # clip to the anchor's reference (bns_fetch_seq semantics)
+        mid = (rb + re) >> 1
+        fwd_mid, mid_rev = idx.depos(mid, 1)
+        rid = idx.rid_of(fwd_mid)
+        far_beg = int(idx.ref_offsets[rid])
+        far_end = far_beg + int(idx.ref_lens[rid])
+        if mid_rev:
+            far_beg, far_end = idx.seq_len - far_end, idx.seq_len - far_beg
+        rb, re = max(rb, far_beg), min(re, far_end)
+        if rid != anchor.rid or re - rb < opt.min_seed_len:
+            continue
+        ref = O.get_dseq(idx, rb, re)
+        score, qb, qe, tb, te, score2 = ksw_local_native(
+            seq, ref, mat, opt.o_del, opt.e_del, opt.o_ins, opt.e_ins
+        )
+        if score >= opt.min_seed_len and qb >= 0:
+            b = O.AlnReg(
+                rid=anchor.rid,
+                qb=l_ms - qe if is_rev else qb,
+                qe=l_ms - qb if is_rev else qe,
+                rb=2 * l_pac - (rb + te) if is_rev else rb + tb,
+                re=2 * l_pac - (rb + tb) if is_rev else rb + te,
+                score=score, truesc=score, csub=score2,
+                secondary=-1, w=opt.bandwidth,
+            )
+            b.seedcov = min(b.re - b.rb, b.qe - b.qb) >> 1
+            # insert keeping the list score-sorted
+            pos = next(
+                (i for i, m in enumerate(mate_regs) if m.score < b.score),
+                len(mate_regs),
+            )
+            mate_regs.insert(pos, b)
+            n += 1
+    return n
+
+
 FLAG_PAIRED = 0x1
 FLAG_PROPER = 0x2
 FLAG_UNMAPPED = 0x4
@@ -198,6 +273,17 @@ def finalize_pairs(
 
     results = []
     for i, ((q1, regs1), (q2, regs2)) in enumerate(all_regs):
+        # mate rescue: anchor on each end's near-best regions
+        if any(not st.failed for st in pes):
+            for (regs_a, q_m, regs_m) in ((regs1, q2, regs2), (regs2, q1, regs1)):
+                if not regs_a:
+                    continue
+                best = regs_a[0].score
+                anchors = [
+                    r for r in regs_a if r.score >= best - opt.pen_unpaired
+                ][: opt.max_matesw]
+                for a in anchors:
+                    mem_matesw(idx, opt, pes, a, q_m, regs_m, mat)
         results.append(
             _pair_one(idx, opt, mat, pes, batch1.names[i], q1, regs1, q2, regs2)
         )

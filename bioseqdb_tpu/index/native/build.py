@@ -64,6 +64,13 @@ def get_lib() -> ctypes.CDLL:
         ctypes.c_int32, ctypes.POINTER(ctypes.c_uint32),
         ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
     ]
+    lib.ksw_local_c.restype = ctypes.c_int32
+    lib.ksw_local_c.argtypes = [
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int8),
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+    ] + [ctypes.POINTER(ctypes.c_int32)] * 5
     _lib = lib
     return lib
 
@@ -91,6 +98,25 @@ def ksw_global_native(query, target, mat, o_del, e_del, o_ins, e_ins, w):
     )
     ops = "MID"
     return int(score), [(int(c) >> 4, ops[int(c) & 0xF]) for c in cig[: n.value]]
+
+
+def ksw_local_native(query, target, mat, o_del, e_del, o_ins, e_ins):
+    """Native local SW (ksw_align2 role). Returns
+    (score, qb, qe_excl, tb, te_excl, score2)."""
+    lib = get_lib()
+    q = np.ascontiguousarray(query, dtype=np.uint8)
+    t = np.ascontiguousarray(target, dtype=np.uint8)
+    m = np.ascontiguousarray(mat, dtype=np.int8)
+    outs = [ctypes.c_int32(0) for _ in range(5)]
+    score = lib.ksw_local_c(
+        q.shape[0], q.ctypes.data_as(_U8P),
+        t.shape[0], t.ctypes.data_as(_U8P),
+        m.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        int(o_del), int(e_del), int(o_ins), int(e_ins),
+        *[ctypes.byref(o) for o in outs],
+    )
+    qb, qe, tb, te, s2 = (o.value for o in outs)
+    return int(score), qb, qe + 1, tb, te + 1, s2
 
 
 def suffix_array(text: np.ndarray) -> np.ndarray:

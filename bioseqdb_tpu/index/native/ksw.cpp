@@ -126,3 +126,80 @@ int32_t ksw_global_c(
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Local affine-gap Smith-Waterman (ksw_align2 role, used by mate rescue):
+// returns the best local score; writes query/target begin/end (end
+// inclusive) of the best local alignment and an approximate second-best
+// score among cells whose target end lies at least qlen/2 away from the
+// best end (the KSW_XSUBO sub-optimal used for csub).
+int32_t ksw_local_c(
+    int32_t qlen, const uint8_t* query, int32_t tlen, const uint8_t* target,
+    const int8_t* mat, int32_t o_del, int32_t e_del, int32_t o_ins,
+    int32_t e_ins, int32_t* qb, int32_t* qe, int32_t* tb, int32_t* te,
+    int32_t* score2) {
+    *qb = *qe = *tb = *te = -1;
+    *score2 = 0;
+    if (qlen <= 0 || tlen <= 0) return 0;
+    const int32_t oe_del = o_del + e_del, oe_ins = o_ins + e_ins;
+
+    auto forward = [&](const uint8_t* q, const uint8_t* t, int32_t ql,
+                       int32_t tl, int32_t* bi, int32_t* bj,
+                       int32_t* sub, int32_t sub_gap) -> int32_t {
+        std::vector<int32_t> h(ql + 1, 0), e(ql + 1, 0);
+        int32_t best = 0;
+        std::vector<int32_t> row_best(tl, 0);
+        *bi = *bj = -1;
+        for (int32_t i = 0; i < tl; ++i) {
+            int32_t f = 0, h_diag = 0;  // H(i-1, j-1), starts at column 0
+            const int8_t* qp = &mat[(size_t)t[i] * 5];
+            int32_t rb = 0;
+            for (int32_t j = 0; j < ql; ++j) {
+                int32_t M = h_diag > 0 ? h_diag + qp[q[j]] : qp[q[j]];
+                if (M < 0) M = 0;
+                h_diag = h[j + 1];
+                int32_t ecur = e[j + 1];
+                int32_t hh = M > ecur ? M : ecur;
+                hh = hh > f ? hh : f;
+                h[j + 1] = hh;
+                if (hh > rb) rb = hh;
+                if (hh > best) best = hh, *bi = i, *bj = j;
+                int32_t tt = M - oe_del;
+                ecur -= e_del;
+                e[j + 1] = ecur > tt ? ecur : (tt > 0 ? tt : 0);
+                tt = M - oe_ins;
+                f -= e_ins;
+                f = f > tt ? f : (tt > 0 ? tt : 0);
+            }
+            row_best[i] = rb;
+        }
+        if (sub) {
+            int32_t s2 = 0;
+            for (int32_t i = 0; i < tl; ++i)
+                if (*bi < 0 || (i < *bi - sub_gap || i > *bi + sub_gap))
+                    s2 = row_best[i] > s2 ? row_best[i] : s2;
+            *sub = s2;
+        }
+        return best;
+    };
+
+    int32_t bi, bj, sub;
+    int32_t score = forward(query, target, qlen, tlen, &bi, &bj, &sub,
+                            qlen / 2 > 1 ? qlen / 2 : 1);
+    if (score <= 0) return 0;
+    *qe = bj;
+    *te = bi;
+    *score2 = sub;
+    // find the start with a reverse pass over the consumed prefixes
+    std::vector<uint8_t> qr(bj + 1), tr(bi + 1);
+    for (int32_t j = 0; j <= bj; ++j) qr[j] = query[bj - j];
+    for (int32_t i = 0; i <= bi; ++i) tr[i] = target[bi - i];
+    int32_t bi2, bj2;
+    forward(qr.data(), tr.data(), bj + 1, bi + 1, &bi2, &bj2, nullptr, 0);
+    *qb = bj - bj2;
+    *tb = bi - bi2;
+    return score;
+}
+
+}  // extern "C"

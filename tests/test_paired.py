@@ -144,3 +144,52 @@ def test_cli_paired(tmp_path, setup):
             if not l.startswith("@")]
     assert len(body) == 12
     assert all(int(l.split("\t")[1]) & 0x1 for l in body)
+
+
+def test_native_local_sw_basics():
+    import numpy as np
+    from bioseqdb_tpu.cpu.ksw import fill_scmat
+    from bioseqdb_tpu.index.native.build import ksw_local_native
+
+    mat = fill_scmat(1, 4)
+    rng = np.random.default_rng(9)
+    t = rng.integers(0, 4, 300).astype(np.uint8)
+    q = t[100:180].copy()  # exact 80bp match inside the target
+    score, qb, qe, tb, te, s2 = ksw_local_native(q, t, mat, 6, 1, 6, 1)
+    assert score == 80 and (qb, qe) == (0, 80) and (tb, te) == (100, 180)
+    # with two mismatches
+    q2 = q.copy(); q2[10] = (q2[10] + 1) % 4; q2[50] = (q2[50] + 2) % 4
+    score, qb, qe, tb, te, s2 = ksw_local_native(q2, t, mat, 6, 1, 6, 1)
+    assert score == 80 - 10 and tb == 100
+
+
+def test_mate_rescue_recovers_unseedable_mate():
+    import numpy as np
+    from bioseqdb_tpu.utils.sim import simulate_genome, simulate_pairs
+    from bioseqdb_tpu.index.builder import build_index
+    from bioseqdb_tpu.io.batch import pack_reads
+
+    g = simulate_genome(60_000, seed=91)
+    idx = build_index([("ref", g)])
+    r1, r2, inserts = simulate_pairs(g, 24, read_len=100, insert_mean=300,
+                                     insert_std=20, seed=92)
+    # corrupt one mate so heavily it cannot seed (every 12th base mutated
+    # breaks all >=19bp seeds) but local SW can still place it
+    bad = list(r2.reads[5])
+    for k in range(0, 100, 12):
+        bad[k] = {"A": "C", "C": "G", "G": "T", "T": "A"}[bad[k]]
+    reads2 = list(r2.reads)
+    reads2[5] = "".join(bad)
+
+    al = Aligner.build(idx, AlignOptions(), mode="full")
+    b1 = pack_reads(r1.reads, r1.names)
+    b2 = pack_reads(reads2, r2.names)
+    pairs = al.align_pairs(b1, b2)
+    res1, res2 = pairs[5]
+    assert res1.mapped and res2.mapped
+    # the rescued mate lands at its true position on the reverse strand
+    # (up to soft-clipping of corrupted end bases by the local SW)
+    assert abs(res2.primary.ref_begin - r2.positions[5]) <= 6
+    assert res2.primary.is_reverse
+    assert res2.primary.cigar.count("M") == 1
+    assert res2.pe.flag_extra & 0x2  # proper pair after rescue
