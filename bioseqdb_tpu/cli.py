@@ -47,10 +47,19 @@ def _cmd_align(args) -> int:
     from bioseqdb_tpu.io.batch import pack_reads_from_file
     from bioseqdb_tpu.sam.emit import emit_sam, sam_header
 
+    import contextlib
+
+    import jax
+
+    from bioseqdb_tpu.align.finalize import finalize_batch
+    from bioseqdb_tpu.utils.profiling import StageTimer, device_trace
+
     idx = FMIndex.load(args.index)
     opts = AlignOptions(min_seed_len=args.min_seed_len)
     aligner = Aligner.build(idx, opts)
     out = open(args.output, "w") if args.output != "-" else sys.stdout
+    timer = StageTimer()
+    trace = device_trace(args.profile) if args.profile else contextlib.nullcontext()
     t0 = time.time()
     n = 0
     try:
@@ -60,28 +69,69 @@ def _cmd_align(args) -> int:
 
             it1 = pack_reads_from_file(args.reads, batch_size=args.batch_size)
             it2 = pack_reads_from_file(args.mate, batch_size=args.batch_size)
-            for b1, b2 in zip(it1, it2):
-                pairs = aligner.align_pairs(b1, b2)
-                s1 = [b1.read_text(i) for i in range(b1.n)]
-                s2 = [b2.read_text(i) for i in range(b2.n)]
-                out.write(emit_sam_pairs(pairs, idx, s1, s2, b1.qualities,
-                                         b2.qualities, header=False))
-                n += b1.n + b2.n
+            with trace:
+                for b1, b2 in zip(it1, it2):
+                    pairs = aligner.align_pairs(b1, b2)
+                    s1 = [b1.read_text(i) for i in range(b1.n)]
+                    s2 = [b2.read_text(i) for i in range(b2.n)]
+                    out.write(emit_sam_pairs(pairs, idx, s1, s2, b1.qualities,
+                                             b2.qualities, header=False))
+                    n += b1.n + b2.n
         else:
-            for batch in pack_reads_from_file(args.reads, batch_size=args.batch_size):
-                results = aligner.align_batch(batch)
-                seqs = [batch.read_text(i) for i in range(batch.n)]
-                out.write(emit_sam(results, idx, seqs, batch.qualities, header=False))
-                n += batch.n
+            # double-buffered: device compute of batch k+1 is dispatched
+            # (async) before the host finalizes batch k
+            with trace:
+                pending = prev_batch = None
+                for batch in pack_reads_from_file(
+                    args.reads, batch_size=args.batch_size
+                ):
+                    with timer.stage("device_dispatch"):
+                        cur = aligner.device_regions(batch)
+                    if pending is not None:
+                        n += _drain(aligner, idx, prev_batch, pending, out, timer)
+                    pending, prev_batch = cur, batch
+                if pending is not None:
+                    n += _drain(aligner, idx, prev_batch, pending, out, timer)
     finally:
         if out is not sys.stdout:
             out.close()
     dt = time.time() - t0
+    timer.report()
     print(
         f"[bioseqdb-tpu] aligned {n} reads in {dt:.2f}s "
         f"({n / max(dt, 1e-9):,.0f} reads/s)",
         file=sys.stderr,
     )
+    return 0
+
+
+def _drain(aligner, idx, batch, pending, out, timer) -> int:
+    """Finalize one batch. Reads are stateless work items, so recovery is
+    batch-granular (SURVEY.md §5): a failed batch is re-fed once from the
+    host copy before being reported and skipped."""
+    import jax
+
+    from bioseqdb_tpu.align.finalize import finalize_batch
+    from bioseqdb_tpu.sam.emit import emit_sam
+
+    for attempt in (1, 2):
+        try:
+            with timer.stage("device_wait", batch.n):
+                regions = jax.device_get(pending)
+            with timer.stage("finalize", batch.n):
+                results = finalize_batch(idx, aligner.options, batch, regions)
+                seqs = [batch.read_text(i) for i in range(batch.n)]
+                out.write(emit_sam(results, idx, seqs, batch.qualities,
+                                   header=False))
+            return batch.n
+        except Exception as e:  # device flake: retry the batch once
+            if attempt == 2:
+                print(f"[bioseqdb-tpu] batch of {batch.n} reads failed twice "
+                      f"({type(e).__name__}: {e}); skipping", file=sys.stderr)
+                return 0
+            print(f"[bioseqdb-tpu] batch failed ({type(e).__name__}); "
+                  "retrying once", file=sys.stderr)
+            pending = aligner.device_regions(batch)
     return 0
 
 
@@ -147,6 +197,7 @@ def main(argv=None) -> int:
     pa.add_argument("--batch-size", type=int, default=65536)
     pa.add_argument("--min-seed-len", type=int, default=19)
     pa.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    pa.add_argument("--profile", help="capture a jax.profiler device trace here")
     pa.set_defaults(fn=_cmd_align)
 
     pm = sub.add_parser("import", help="pack reads into .npz shards (bulk ingest)")
