@@ -55,7 +55,17 @@ def _cmd_align(args) -> int:
     from bioseqdb_tpu.utils.profiling import StageTimer, device_trace
 
     idx = FMIndex.load(args.index)
-    opts = AlignOptions(min_seed_len=args.min_seed_len)
+    opts = AlignOptions(
+        min_seed_len=args.min_seed_len,
+        max_occ=args.max_occ,
+        match_score=args.match_score,
+        mismatch_penalty=args.mismatch_penalty,
+        o_del=args.open_del, e_del=args.ext_del,
+        o_ins=args.open_ins, e_ins=args.ext_ins,
+        pen_clip5=args.clip5, pen_clip3=args.clip3,
+        zdrop=args.zdrop, bandwidth=args.bandwidth,
+        min_score=args.min_score,
+    )
     aligner = Aligner.build(idx, opts)
     out = open(args.output, "w") if args.output != "-" else sys.stdout
     timer = StageTimer()
@@ -195,7 +205,21 @@ def main(argv=None) -> int:
     pa.add_argument("--mate", help="mate FASTA/FASTQ for paired-end alignment")
     pa.add_argument("-o", "--output", default="-")
     pa.add_argument("--batch-size", type=int, default=65536)
-    pa.add_argument("--min-seed-len", type=int, default=19)
+    # scoring/heuristic knobs mirroring bwa mem's flags and the reference
+    # SQL bwa_options fields (bioseqdb--0.0.0.sql:160-194)
+    pa.add_argument("-k", "--min-seed-len", type=int, default=19)
+    pa.add_argument("-c", "--max-occ", type=int, default=None)
+    pa.add_argument("-A", "--match-score", type=int, default=1)
+    pa.add_argument("-B", "--mismatch-penalty", type=int, default=4)
+    pa.add_argument("-O", "--open-del", type=int, default=6)
+    pa.add_argument("-E", "--ext-del", type=int, default=1)
+    pa.add_argument("--open-ins", type=int, default=6)
+    pa.add_argument("--ext-ins", type=int, default=1)
+    pa.add_argument("-L5", "--clip5", type=int, default=5)
+    pa.add_argument("-L3", "--clip3", type=int, default=5)
+    pa.add_argument("-d", "--zdrop", type=int, default=100)
+    pa.add_argument("-w", "--bandwidth", type=int, default=100)
+    pa.add_argument("-T", "--min-score", type=int, default=30)
     pa.add_argument("--cpu", action="store_true", help="force the CPU backend")
     pa.add_argument("--profile", help="capture a jax.profiler device trace here")
     pa.set_defaults(fn=_cmd_align)
