@@ -118,6 +118,14 @@ def finalize_read(
                 continue
         aln = O.reg2aln(idx, opt, q, r, mat)
         hits.append(aln_to_hit(idx, aln, r, name, query_id))
+    # non-first primary parts of a chimeric read are supplementary
+    # (mem_reg2sam: `if (l && p->secondary < 0) flag |= 0x800`)
+    seen_primary = False
+    for h in hits:
+        if not h.is_secondary:
+            if seen_primary:
+                h.is_supplementary = True
+            seen_primary = True
     res = ReadResult(query_name=name, hits=hits)
     if xa and hits and len(xa) <= opt.max_xa_hits:
         hits[0].xa = ";".join(xa) + ";"

@@ -32,6 +32,8 @@ class Hit:
     md: str = ""         # SAM MD tag ("" = not computed)
     rid: int = -1        # internal reference row index
     xa: str = ""         # SAM XA tag payload (alternate hits), "" = none
+    is_supplementary: bool = False  # SAM 0x800: non-first primary part of a
+                                    # chimeric read (mem_reg2sam rule)
 
     @property
     def ref_match_len(self) -> int:

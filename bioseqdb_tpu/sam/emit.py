@@ -17,6 +17,7 @@ from bioseqdb_tpu.index.fmindex import FMIndex
 FLAG_UNMAPPED = 0x4
 FLAG_REVERSE = 0x10
 FLAG_SECONDARY = 0x100  # BAM_FSECONDARY — bwa.cpp:169-170
+FLAG_SUPPLEMENTARY = 0x800
 
 _COMP = str.maketrans("ACGTNWSMKRYBDHV", "TGCANWSKMYRVHDB")
 
@@ -42,6 +43,8 @@ def hit_flag(hit: Hit) -> int:
         flag |= FLAG_REVERSE
     if hit.is_secondary:
         flag |= FLAG_SECONDARY
+    if getattr(hit, "is_supplementary", False):
+        flag |= FLAG_SUPPLEMENTARY
     return flag
 
 

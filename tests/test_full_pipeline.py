@@ -152,3 +152,18 @@ def test_bwa_style_output_with_xa_tag(setup):
     assert alt[0] == "ref" and alt[1][0] in "+-"
     sam = emit_sam([res], idx, [read], header=False)
     assert "XA:Z:" in sam
+
+
+def test_chimeric_supplementary_flags(setup):
+    g, idx = setup
+    from bioseqdb_tpu.align.pipeline import align as align_fn
+    from bioseqdb_tpu.sam.emit import emit_sam
+
+    read = g[1000:1075] + g[20000:20075]
+    res = align_fn([read], idx)[0]
+    prims = [h for h in res.hits if not h.is_secondary]
+    assert len(prims) == 2
+    assert not prims[0].is_supplementary and prims[1].is_supplementary
+    sam = emit_sam([res], idx, [read], header=False)
+    flags = [int(l.split("\t")[1]) for l in sam.strip().split("\n")]
+    assert sum(1 for f in flags if f & 0x800) == 1
