@@ -33,13 +33,14 @@ from bioseqdb_tpu.kernels import fm as kfm
 NEG = jnp.int32(-(1 << 30))
 
 
-@functools.partial(jax.jit, static_argnames=("max_occ", "max_seeds"))
+@functools.partial(jax.jit, static_argnames=("max_occ", "max_seeds", "shard_axis"))
 def resolve_seeds(
     fm: kfm.FMDevice,
     mems: jnp.ndarray,    # int32[B, M, 5] (k, l, s, start, end)
     n_mem: jnp.ndarray,   # int32[B]
     max_occ: int,
     max_seeds: int,
+    shard_axis: str | None = None,
 ):
     """Expand seed intervals into located seeds.
 
@@ -82,7 +83,7 @@ def resolve_seeds(
     ofs = take(off)
     t = ss - ofs
     ranks = jnp.where(valid, k0 + t * stp, 1)
-    pos = kfm.sa_resolve(fm, ranks)              # doubled-text rbeg
+    pos = kfm.sa_resolve(fm, ranks, axis=shard_axis)  # doubled-text rbeg
     slen = end - start
 
     # bns_intv2rid: drop seeds bridging strand or reference boundaries

@@ -41,13 +41,23 @@ def cal_max_gap(qlen, match_score, o_del, e_del, o_ins, e_ins, bandwidth):
     return jnp.minimum(jnp.maximum(jnp.maximum(l_del, l_ins), 1), bandwidth << 1)
 
 
-def fetch_doubled(pac_dev, l_pac, seq_len, positions):
-    """Gather codes from the doubled text; out-of-range -> 4."""
+def fetch_doubled(pac_dev, l_pac, seq_len, positions, axis=None):
+    """Gather codes from the doubled text; out-of-range -> 4. With
+    ``axis``, pac_dev holds this shard's position range and results are
+    psum'd to the owner (kernels/fm.py sharding convention)."""
     inb = (positions >= 0) & (positions < seq_len)
     p = jnp.clip(positions, 0, seq_len - 1)
     fwd = p < l_pac
     idx = jnp.where(fwd, p, seq_len - 1 - p)
-    base = pac_dev[idx].astype(jnp.int32)
+    if axis is None:
+        base = pac_dev[idx].astype(jnp.int32)
+    else:
+        per = pac_dev.shape[0]
+        start = jax.lax.axis_index(axis).astype(jnp.int32) * per
+        local = idx - start
+        mine = (local >= 0) & (local < per)
+        base = jnp.where(mine, pac_dev[jnp.clip(local, 0, per - 1)].astype(jnp.int32), 0)
+        base = jax.lax.psum(base, axis)
     val = jnp.where(fwd, base, 3 - base)
     return jnp.where(inb, val, 4)
 
@@ -57,7 +67,7 @@ def fetch_doubled(pac_dev, l_pac, seq_len, positions):
     static_argnames=(
         "max_rounds", "max_regs", "max_qlen", "max_tlen",
         "match_score", "mismatch_penalty", "o_del", "e_del", "o_ins", "e_ins",
-        "bandwidth", "zdrop", "pen_clip5", "pen_clip3",
+        "bandwidth", "zdrop", "pen_clip5", "pen_clip3", "shard_axis",
     ),
 )
 def extend_all(
@@ -76,6 +86,7 @@ def extend_all(
     max_regs: int = 8,
     max_qlen: int = 160,
     max_tlen: int = 640,
+    shard_axis: str | None = None,
 ):
     """Run the extension stage. Returns per-read region table:
     rb/re/qb/qe/score/truesc/w/seedlen0 int32[B, R] + n_regs + overflow.
@@ -286,7 +297,7 @@ def extend_all(
         tpos = sr[:, None] - 1 - tcols
         tbuf_l = jnp.where(
             tcols < lt[:, None],
-            fetch_doubled(pac_dev, fm.l_pac, fm.seq_len, tpos), 4
+            fetch_doubled(pac_dev, fm.l_pac, fm.seq_len, tpos, shard_axis), 4
         )
         has_l = act & (lq > 0)
         resL, awL = sw_with_retry(
@@ -320,7 +331,7 @@ def extend_all(
         tpos_r = re0[:, None] + tcols
         tbuf_r = jnp.where(
             tcols < rt[:, None],
-            fetch_doubled(pac_dev, fm.l_pac, fm.seq_len, tpos_r), 4
+            fetch_doubled(pac_dev, fm.l_pac, fm.seq_len, tpos_r, shard_axis), 4
         )
         has_r = act & (rq > 0)
         resR, awR = sw_with_retry(

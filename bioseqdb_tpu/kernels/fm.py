@@ -74,42 +74,66 @@ def _row_counts(row: jnp.ndarray, c: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray
     return jax.lax.population_count(y & mask).sum(axis=-1).astype(jnp.int32)
 
 
-def occ_stored(fm: FMDevice, c: jnp.ndarray, j: jnp.ndarray) -> jnp.ndarray:
+def _table_row(table: jnp.ndarray, blk: jnp.ndarray, axis: str | None):
+    """Gather table rows by index. With ``axis`` set (BWT-interval
+    sharding; the table holds this shard's row range), out-of-range rows
+    read as a masked dummy and the caller's result must be psum'd over
+    ``axis`` — each global row is owned by exactly one shard."""
+    if axis is None:
+        return table[blk], None
+    rps = table.shape[0]
+    base = jax.lax.axis_index(axis).astype(jnp.int32) * rps
+    local = blk - base
+    mine = (local >= 0) & (local < rps)
+    row = table[jnp.clip(local, 0, rps - 1)]
+    return row, mine
+
+
+def _owner_sum(val: jnp.ndarray, mine, axis: str | None) -> jnp.ndarray:
+    if axis is None:
+        return val
+    shaped = mine
+    while shaped.ndim < val.ndim:
+        shaped = shaped[..., None]
+    return jax.lax.psum(jnp.where(shaped, val, 0), axis)
+
+
+def occ_stored(fm: FMDevice, c, j, axis: str | None = None) -> jnp.ndarray:
     """Count of code c in the stored BWT prefix [0, j). Batched."""
     blk = j >> _LOG2_OCC_BLOCK
     r = j & (OCC_BLOCK - 1)
-    row = fm.blocks[blk]                       # (..., 12) gather
+    row, mine = _table_row(fm.blocks, blk, axis)
     ckpt = jnp.take_along_axis(row[..., :4], c[..., None], axis=-1)[..., 0]
-    return ckpt + _row_counts(row, c, r)
+    return _owner_sum(ckpt + _row_counts(row, c, r), mine, axis)
 
 
-def occB(fm: FMDevice, c: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
+def occB(fm: FMDevice, c, r, axis: str | None = None) -> jnp.ndarray:
     """Count of code c in the conceptual BWT prefix B[0, r) (skips $)."""
-    return occ_stored(fm, c, r - (r > fm.primary).astype(jnp.int32))
+    return occ_stored(fm, c, r - (r > fm.primary).astype(jnp.int32), axis)
 
 
-def occ4_stored(fm: FMDevice, j: jnp.ndarray) -> jnp.ndarray:
+def occ4_stored(fm: FMDevice, j, axis: str | None = None) -> jnp.ndarray:
     """Counts of all four codes in [0, j). Returns shape (..., 4)."""
     blk = j >> _LOG2_OCC_BLOCK
     r = j & (OCC_BLOCK - 1)
-    row = fm.blocks[blk]
+    row, mine = _table_row(fm.blocks, blk, axis)
     cs = jnp.arange(4, dtype=jnp.int32)
     cnt = _row_counts(row[..., None, :], jnp.broadcast_to(cs, j.shape + (4,)),
                       r[..., None])
-    return row[..., :4] + cnt
+    return _owner_sum(row[..., :4] + cnt, mine, axis)
 
 
-def occ4B(fm: FMDevice, r: jnp.ndarray) -> jnp.ndarray:
-    return occ4_stored(fm, r - (r > fm.primary).astype(jnp.int32))
+def occ4B(fm: FMDevice, r, axis: str | None = None) -> jnp.ndarray:
+    return occ4_stored(fm, r - (r > fm.primary).astype(jnp.int32), axis)
 
 
-def backward_ext(fm: FMDevice, lo, hi, c):
+def backward_ext(fm: FMDevice, lo, hi, c, axis: str | None = None):
     """Extend pattern interval [lo, hi) by prepending code c. Batched.
 
     The two rank queries issue as ONE fused gather (half the fixed
     per-step gather-kernel cost of separate calls)."""
     C = fm.L2[c] + 1
-    both = occB(fm, jnp.concatenate([c, c]), jnp.concatenate([lo, hi]))
+    both = occB(fm, jnp.concatenate([c, c]), jnp.concatenate([lo, hi]), axis)
     n = lo.shape[0]
     return C + both[:n], C + both[n:]
 
@@ -144,14 +168,14 @@ def backward_search(fm: FMDevice, codes: jnp.ndarray, lens: jnp.ndarray):
     return jnp.where(empty, 0, lo), jnp.where(empty, 0, hi)
 
 
-def fmd_extend_back(fm: FMDevice, k, l, s):
+def fmd_extend_back(fm: FMDevice, k, l, s, axis: str | None = None):
     """FMD bi-interval backward extension for all 4 codes (batched).
 
     k, l, s: int32[...]; returns (k4, l4, s4) of shape (..., 4) —
     bi-intervals of c+P for each code c (bwa bwt_extend, is_back=1).
     Both rank queries issue as one fused gather.
     """
-    both = occ4B(fm, jnp.concatenate([k.reshape(-1), (k + s).reshape(-1)]))
+    both = occ4B(fm, jnp.concatenate([k.reshape(-1), (k + s).reshape(-1)]), axis)
     n = k.size
     o1 = both[:n].reshape(k.shape + (4,))
     o2 = both[n:].reshape(k.shape + (4,))
@@ -164,23 +188,24 @@ def fmd_extend_back(fm: FMDevice, k, l, s):
     return k4, l4, cnt
 
 
-def fmd_extend_fwd(fm: FMDevice, k, l, s):
+def fmd_extend_fwd(fm: FMDevice, k, l, s, axis: str | None = None):
     """FMD forward extension: bi-intervals of P+c for each code c."""
-    k4, l4, s4 = fmd_extend_back(fm, l, k, s)
+    k4, l4, s4 = fmd_extend_back(fm, l, k, s, axis)
     return l4[..., ::-1], k4[..., ::-1], s4[..., ::-1]
 
 
-def _sa_marked(fm: FMDevice, r: jnp.ndarray) -> jnp.ndarray:
+def _sa_marked(fm: FMDevice, r: jnp.ndarray, axis: str | None = None) -> jnp.ndarray:
     """Whether ranks carry a sampled SA value (batched bit lookup)."""
-    row = fm.sa_bits[r >> 7]
+    row, mine = _table_row(fm.sa_bits, r >> 7, axis)
     words = jax.lax.bitcast_convert_type(row[..., 1:], jnp.uint32)
     word = jnp.take_along_axis(words, ((r >> 5) & 3)[..., None], axis=-1)[..., 0]
-    return ((word >> (r & 31).astype(jnp.uint32)) & 1).astype(jnp.bool_)
+    bit = ((word >> (r & 31).astype(jnp.uint32)) & 1).astype(jnp.int32)
+    return _owner_sum(bit, mine, axis).astype(jnp.bool_)
 
 
-def _sa_slot(fm: FMDevice, r: jnp.ndarray) -> jnp.ndarray:
+def _sa_slot(fm: FMDevice, r: jnp.ndarray, axis: str | None = None) -> jnp.ndarray:
     """Number of marked ranks before each rank (its sa_sample slot)."""
-    row = fm.sa_bits[r >> 7]
+    row, mine = _table_row(fm.sa_bits, r >> 7, axis)
     words = jax.lax.bitcast_convert_type(row[..., 1:], jnp.uint32)
     w = (r >> 5) & 3
     widx = jnp.arange(4, dtype=jnp.int32)
@@ -194,10 +219,11 @@ def _sa_slot(fm: FMDevice, r: jnp.ndarray) -> jnp.ndarray:
     mask = jnp.where(nbits >= 32, jnp.uint32(0xFFFFFFFF),
                      (jnp.uint32(1) << jnp.minimum(nbits, 31)) - jnp.uint32(1))
     part = jax.lax.population_count(words & mask).sum(axis=-1).astype(jnp.int32)
-    return row[..., 0] + part
+    return _owner_sum(row[..., 0] + part, mine, axis)
 
 
-def sa_resolve(fm: FMDevice, ranks: jnp.ndarray, sa_interval: int = 32) -> jnp.ndarray:
+def sa_resolve(fm: FMDevice, ranks: jnp.ndarray, sa_interval: int = 32,
+               axis: str | None = None) -> jnp.ndarray:
     """Resolve conceptual ranks to doubled-text positions (batched).
 
     With position-sampled SA the LF walk is bounded by ``sa_interval - 1``
@@ -209,25 +235,25 @@ def sa_resolve(fm: FMDevice, ranks: jnp.ndarray, sa_interval: int = 32) -> jnp.n
 
     def body(_, state):
         r, steps = state
-        done = _sa_marked(fm, r)
+        done = _sa_marked(fm, r, axis)
         # one-gather inv_psi: j = r - (r > primary); c = stored[j];
         # LF = L2[c] + occ_stored(c, j) + 1
         j = r - (r > fm.primary).astype(jnp.int32)
         blk = j >> _LOG2_OCC_BLOCK
         off = j & (OCC_BLOCK - 1)
-        row = fm.blocks[blk]
+        row, mine = _table_row(fm.blocks, blk, axis)
         words = jax.lax.bitcast_convert_type(row[..., 4:], jnp.uint32)
         word = jnp.take_along_axis(words, (off >> 4)[..., None], axis=-1)[..., 0]
         c = ((word >> (2 * (15 - (off & 15))).astype(jnp.uint32)) & 3).astype(jnp.int32)
         ckpt = jnp.take_along_axis(row[..., :4], c[..., None], axis=-1)[..., 0]
-        lf = fm.L2[c] + ckpt + _row_counts(row, c, off) + 1
+        lf = _owner_sum(fm.L2[c] + ckpt + _row_counts(row, c, off) + 1, mine, axis)
         nxt = jnp.where(r == fm.primary, 0, lf)
         r = jnp.where(done, r, nxt)
         steps = jnp.where(done, steps, steps + 1)
         return r, steps
 
     r, steps = jax.lax.fori_loop(0, sa_interval - 1, body, (r, steps))
-    return fm.sa_sample[_sa_slot(fm, r)] + steps
+    return fm.sa_sample[_sa_slot(fm, r, axis)] + steps
 
 
 def depos(fm: FMDevice, pos: jnp.ndarray, length) -> tuple[jnp.ndarray, jnp.ndarray]:

@@ -43,7 +43,7 @@ RD_LAST = 2    # round 3: LAST-like seeds
 @functools.partial(
     jax.jit,
     static_argnames=("min_seed_len", "split_width", "max_mem_intv", "split_len",
-                     "max_cand", "max_mem"),
+                     "max_cand", "max_mem", "max_iters", "shard_axis"),
 )
 def collect_seeds_device(
     fm: kfm.FMDevice,
@@ -56,6 +56,7 @@ def collect_seeds_device(
     max_cand: int = 24,
     max_mem: int = 48,
     max_iters: int = 0,
+    shard_axis: str | None = None,
 ):
     """Run all three seeding rounds for a batch of reads.
 
@@ -156,7 +157,8 @@ def collect_seeds_device(
         # unify: fwd == back on the (l, k) swap + code flip
         a = jnp.where(in_bwd, src_k, src_l)
         b = jnp.where(in_bwd, src_l, src_k)
-        k4, l4, s4 = kfm.fmd_extend_back(fm, a, b, jnp.maximum(src_s, 0))
+        k4, l4, s4 = kfm.fmd_extend_back(fm, a, b, jnp.maximum(src_s, 0),
+                                         axis=shard_axis)
         c_raw = qi
         c_ext = jnp.where(in_bwd, c_raw, 3 - c_raw)
         c_sel = jnp.clip(c_ext, 0, 3)[:, None]

@@ -84,3 +84,46 @@ def test_uneven_shard_count(setup):
     got = np.asarray(sa_resolve_sharded(fms3, ranks, mesh3))
     want = np.asarray(kfm.sa_resolve(fm, ranks))
     assert np.array_equal(got, want)
+
+
+def test_full_pipeline_sharded_2d_mesh(setup):
+    """The whole device pipeline over a (data x index) mesh equals the
+    single-device pipeline, end to end through host finalize."""
+    import jax.numpy as jnp2
+    from jax.sharding import Mesh as Mesh2
+    from bioseqdb_tpu.align.options import AlignOptions
+    from bioseqdb_tpu.align.finalize import finalize_batch
+    from bioseqdb_tpu.align.pipeline import Aligner
+    from bioseqdb_tpu.cpu.ksw import fill_scmat
+    from bioseqdb_tpu.dist.shard_index import full_align_step_sharded, shard_index
+    from bioseqdb_tpu.io.batch import pack_reads
+
+    g, idx, _, fm, _ = setup
+    opt = AlignOptions()
+    sim = simulate_reads(g, 16, read_len=120, sub_rate=0.03, seed=9)
+    batch = pack_reads(sim.reads, sim.names, pad_reads_to=4)
+
+    mesh2 = Mesh2(np.array(jax.devices()[:8]).reshape(2, 4),
+                  axis_names=("data", "index"))
+    fms = shard_index(idx, mesh2)
+    mat = jnp2.asarray(fill_scmat(1, 4).astype(np.int32))
+    out_sh = jax.device_get(full_align_step_sharded(
+        fms, jnp2.asarray(batch.codes, jnp2.int32),
+        jnp2.asarray(batch.lens, jnp2.int32), mat, mesh2, opt, idx.n_refs,
+        data_axis="data",
+    ))
+    assert not out_sh["overflow"].any()
+
+    al = Aligner.build(idx, opt, mode="full")
+    out_un = jax.device_get(al.device_regions(batch))
+    for f in ("rb", "re", "qb", "qe", "score", "truesc", "seedcov"):
+        assert np.array_equal(out_sh["regs"][f], out_un["regs"][f]), f
+    assert np.array_equal(out_sh["n_regs"], out_un["n_regs"])
+
+    # and identical final records through the host finalizer
+    res_sh = finalize_batch(idx, opt, batch, out_sh)
+    res_un = finalize_batch(idx, opt, batch, out_un)
+    for a, b in zip(res_sh, res_un):
+        ka = [(h.ref_begin, h.cigar, h.score, h.mapq) for h in a.hits]
+        kb = [(h.ref_begin, h.cigar, h.score, h.mapq) for h in b.hits]
+        assert ka == kb
