@@ -22,7 +22,6 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-import numpy as np
 
 from bioseqdb_tpu.align.options import AlignOptions
 from bioseqdb_tpu.align.pipeline import Aligner

@@ -25,9 +25,7 @@ import numpy as np
 
 from bioseqdb_tpu.align.options import AlignOptions
 from bioseqdb_tpu.cpu.ksw import (
-    ExtendResult,
     cigar_nm_md,
-    cigar_to_string,
     fill_scmat,
     ksw_extend,
     ksw_global,
