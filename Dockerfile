@@ -1,0 +1,16 @@
+# Container recipe mirroring CI (the reference shipped a postgres:alpine
+# image with the extension preinstalled, Dockerfile:5-10; this engine is
+# a library+CLI, so the image just installs it and validates the hermetic
+# suite). Not buildable inside the zero-egress dev sandbox; the commands
+# are the same ones CI and `make test` run.
+FROM python:3.12-slim
+
+RUN apt-get update && apt-get install -y --no-install-recommends g++ make \
+    && rm -rf /var/lib/apt/lists/*
+
+WORKDIR /opt/bioseqdb-tpu
+COPY . .
+RUN pip install --no-cache-dir -e .[test]
+RUN python -m pytest tests/ -q
+
+ENTRYPOINT ["bioseqdb-tpu"]

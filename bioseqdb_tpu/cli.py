@@ -66,7 +66,7 @@ def _cmd_align(args) -> int:
         zdrop=args.zdrop, bandwidth=args.bandwidth,
         min_score=args.min_score,
     )
-    aligner = Aligner.build(idx, opts)
+    aligner = Aligner.build(idx, opts, mode=args.mode)
     out = open(args.output, "w") if args.output != "-" else sys.stdout
     timer = StageTimer()
     trace = device_trace(args.profile) if args.profile else contextlib.nullcontext()
@@ -220,6 +220,8 @@ def main(argv=None) -> int:
     pa.add_argument("-d", "--zdrop", type=int, default=100)
     pa.add_argument("-w", "--bandwidth", type=int, default=100)
     pa.add_argument("-T", "--min-score", type=int, default=30)
+    pa.add_argument("--mode", choices=["full", "exact"], default="full",
+                    help="full BWA-MEM pipeline or the exact-match fast path")
     pa.add_argument("--cpu", action="store_true", help="force the CPU backend")
     pa.add_argument("--profile", help="capture a jax.profiler device trace here")
     pa.set_defaults(fn=_cmd_align)
