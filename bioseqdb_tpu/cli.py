@@ -87,6 +87,17 @@ def _cmd_align(args) -> int:
                     out.write(emit_sam_pairs(pairs, idx, s1, s2, b1.qualities,
                                              b2.qualities, header=False))
                     n += b1.n + b2.n
+        elif args.mode == "exact":
+            with trace:
+                for batch in pack_reads_from_file(
+                    args.reads, batch_size=args.batch_size
+                ):
+                    with timer.stage("align", batch.n):
+                        results = aligner.align_batch(batch)
+                        seqs = [batch.read_text(i) for i in range(batch.n)]
+                        out.write(emit_sam(results, idx, seqs, batch.qualities,
+                                           header=False))
+                    n += batch.n
         else:
             # double-buffered: device compute of batch k+1 is dispatched
             # (async) before the host finalizes batch k
