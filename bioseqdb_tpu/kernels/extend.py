@@ -84,8 +84,8 @@ def extend_all(
     bandwidth: int, zdrop: int, pen_clip5: int, pen_clip3: int,
     max_rounds: int = 6,
     max_regs: int = 8,
-    max_qlen: int = 160,
-    max_tlen: int = 640,
+    max_qlen: int = 0,
+    max_tlen: int = 0,
     shard_axis: str | None = None,
 ):
     """Run the extension stage. Returns per-read region table:
@@ -97,6 +97,12 @@ def extend_all(
     R = max_regs
     i32 = jnp.int32
     rows = jnp.arange(B)
+    if max_qlen <= 0:
+        max_qlen = int(codes.shape[1])
+    if max_tlen <= 0:
+        # a reference window spans at most the read plus the band-bounded
+        # gap allowance on both sides (cal_max_gap caps at 2*bandwidth)
+        max_tlen = int(codes.shape[1]) + 4 * bandwidth + 64
 
     # ---- the global seed processing order -------------------------------
     ci = chains["assign"]                     # (B, S); -1/-2 = not in a chain

@@ -167,3 +167,13 @@ def test_chimeric_supplementary_flags(setup):
     sam = emit_sam([res], idx, [read], header=False)
     flags = [int(l.split("\t")[1]) for l in sam.strip().split("\n")]
     assert sum(1 for f in flags if f & 0x800) == 1
+
+
+def test_long_reads_300bp(setup):
+    # extension buffers adapt to batch width; 300bp reads (beyond the
+    # old fixed 160-col buffers) must still equal the oracle
+    g, idx = setup
+    sim = simulate_reads(g, 8, read_len=300, sub_rate=0.02, seed=77)
+    # add a 300bp read with a deletion
+    reads = list(sim.reads) + [g[3000:3150] + g[3155:3305]]
+    compare(setup, reads)
