@@ -73,7 +73,8 @@ def _cmd_align(args) -> int:
     t0 = time.time()
     n = 0
     try:
-        out.write(sam_header(idx, program_args=" ".join(sys.argv[1:])))
+        out.write(sam_header(idx, program_args=" ".join(sys.argv[1:]),
+                             read_group=args.rg))
         if args.mate:
             from bioseqdb_tpu.sam.emit import emit_sam_pairs
 
@@ -231,6 +232,7 @@ def main(argv=None) -> int:
     pa.add_argument("-d", "--zdrop", type=int, default=100)
     pa.add_argument("-w", "--bandwidth", type=int, default=100)
     pa.add_argument("-T", "--min-score", type=int, default=30)
+    pa.add_argument("-R", "--rg", help="@RG header line (\\t-separated, bwa -R style)")
     pa.add_argument("--mode", choices=["full", "exact"], default="full",
                     help="full BWA-MEM pipeline or the exact-match fast path")
     pa.add_argument("--cpu", action="store_true", help="force the CPU backend")

@@ -262,6 +262,12 @@ class FMIndex:
     def load(cls, path: str, mmap: bool = True) -> "FMIndex":
         with open(os.path.join(path, "meta.json")) as fh:
             meta = json.load(fh)
+        version = meta.get("format_version")
+        if version != 1:
+            raise ValueError(
+                f"unsupported index format_version {version!r} at {path}; "
+                "rebuild the index with this version of bioseqdb-tpu"
+            )
         mode = "r" if mmap else None
         ld = lambda name: np.load(os.path.join(path, name + ".npy"), mmap_mode=mode)
         return cls(

@@ -26,10 +26,14 @@ def revcomp(seq: str) -> str:
     return seq.translate(_COMP)[::-1]
 
 
-def sam_header(index: FMIndex, program_args: str = "") -> str:
+def sam_header(index: FMIndex, program_args: str = "",
+               read_group: str | None = None) -> str:
     lines = ["@HD\tVN:1.6\tSO:unsorted"]
     for name, length in zip(index.ref_names, index.ref_lens):
         lines.append(f"@SQ\tSN:{name}\tLN:{int(length)}")
+    if read_group:
+        # bwa mem -R semantics: a full @RG line with literal \t separators
+        lines.append(read_group.replace("\\t", "\t"))
     pg = "@PG\tID:bioseqdb-tpu\tPN:bioseqdb-tpu\tVN:0.1.0"
     if program_args:
         pg += f"\tCL:{program_args}"
