@@ -93,6 +93,10 @@ def finalize_read(
     all_hits: bool = True,
 ) -> ReadResult:
     regs = O.sort_dedup_patch(idx, opt, q, regs, mat)
+    if len(idx.ref_is_alt):
+        for r in regs:
+            if 0 <= r.rid < len(idx.ref_is_alt):
+                r.is_alt = bool(idx.ref_is_alt[r.rid])
     regs = O.mark_primary(opt, regs, rand_id)
     hits: list[Hit] = []
     xa: list[str] = []

@@ -309,7 +309,9 @@ def mem_chain(idx: FMIndex, opt: AlignOptions, q: np.ndarray) -> list[Chain]:
                 if ci >= 0:
                     merged = test_and_merge(opt, idx.l_pac, chains[ci], seed, rid)
                 if not merged:
-                    c = Chain(pos=rbeg, rid=rid, seeds=[seed], frac_rep=frac_rep)
+                    c = Chain(pos=rbeg, rid=rid, seeds=[seed], frac_rep=frac_rep,
+                              is_alt=bool(idx.ref_is_alt[rid])
+                              if len(idx.ref_is_alt) else False)
                     j = bisect.bisect_right(keys, rbeg)
                     keys.insert(j, rbeg)
                     chains.insert(j, c)
@@ -849,6 +851,12 @@ def mem_align1(
     for c in chains:
         chain2aln(idx, opt, q, c, regs, mat)
     regs = sort_dedup_patch(idx, opt, q, regs, mat)
+    # flag ALT-contig regions before primary marking (mem_align1_core's
+    # anns[rid].is_alt pass)
+    if len(idx.ref_is_alt):
+        for r in regs:
+            if 0 <= r.rid < len(idx.ref_is_alt):
+                r.is_alt = bool(idx.ref_is_alt[r.rid])
     regs = mark_primary(opt, regs, rand_id)
     return regs
 

@@ -18,12 +18,15 @@ from bioseqdb_tpu.index.fmindex import FMIndex, build_fmindex_from_codes
 from bioseqdb_tpu.seq.codec import CHAR_OF, Sequence
 
 
-def build_index(refs, sa_interval: int = 32) -> FMIndex:
+def build_index(refs, sa_interval: int = 32, alt_names=None) -> FMIndex:
     """Build an FMIndex from an iterable of references.
 
     Each item may be a ``Sequence``, a ``str``, ``(name, seq)``, or
     ``(id, name, seq)``; ids default to the row number (the reference
-    passes ids through from SQL, extension.cpp:215).
+    passes ids through from SQL, extension.cpp:215). ``alt_names`` marks
+    references as ALT contigs (the role of bwa's .alt file): ALT hits
+    never shadow primary-reference hits in chain filtering or primary
+    marking.
     """
     pac_parts: list[np.ndarray] = []
     ref_ids: list[int] = []
@@ -64,12 +67,14 @@ def build_index(refs, sa_interval: int = 32) -> FMIndex:
         raise ValueError("cannot build an index from zero reference sequences")
 
     pac = np.concatenate(pac_parts) if pac_parts else np.zeros(0, np.uint8)
+    alt_set = set(alt_names or ())
     return build_fmindex_from_codes(
         pac,
         ref_ids=ref_ids,
         ref_names=ref_names,
         ref_offsets=ref_offsets,
         ref_lens=ref_lens,
+        ref_is_alt=[n in alt_set for n in ref_names],
         hole_offsets=np.concatenate(hole_offsets) if hole_offsets else None,
         hole_lens=np.concatenate(hole_lens) if hole_lens else None,
         hole_chars=np.concatenate(hole_chars) if hole_chars else None,

@@ -74,6 +74,9 @@ class FMIndex:
     ref_names: list[str] = field(default_factory=list)
     ref_offsets: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
     ref_lens: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+    # ALT-contig flags (bwa's bntann1_t.is_alt role): hits on ALT
+    # references never shadow primary-reference hits
+    ref_is_alt: np.ndarray = field(default_factory=lambda: np.zeros(0, bool))
     # ambiguity holes in concatenated forward coordinates (bntamb1_t replacement)
     hole_offsets: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
     hole_lens: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
@@ -245,7 +248,8 @@ class FMIndex:
             L2=self.L2, blocks=self.blocks, sa_sample=self.sa_sample,
             sa_bits=self.sa_bits,
             pac=self.pac, ref_ids=self.ref_ids, ref_offsets=self.ref_offsets,
-            ref_lens=self.ref_lens, hole_offsets=self.hole_offsets,
+            ref_lens=self.ref_lens, ref_is_alt=self.ref_is_alt,
+            hole_offsets=self.hole_offsets,
             hole_lens=self.hole_lens, hole_chars=self.hole_chars,
         )
         for name, arr in arrays.items():
@@ -278,6 +282,7 @@ class FMIndex:
             sa_sample=ld("sa_sample"), sa_bits=ld("sa_bits"),
             pac=ld("pac"), ref_ids=ld("ref_ids"),
             ref_offsets=ld("ref_offsets"), ref_lens=ld("ref_lens"),
+            ref_is_alt=ld("ref_is_alt"),
             hole_offsets=ld("hole_offsets"), hole_lens=ld("hole_lens"),
             hole_chars=ld("hole_chars"),
         )
@@ -336,6 +341,7 @@ def build_fmindex_from_codes(
     ref_names=None,
     ref_offsets=None,
     ref_lens=None,
+    ref_is_alt=None,
     hole_offsets=None,
     hole_lens=None,
     hole_chars=None,
@@ -378,6 +384,9 @@ def build_fmindex_from_codes(
         ref_names=list(ref_names) if n_refs_known else ["0"],
         ref_offsets=mk(ref_offsets if ref_offsets is not None else [0], np.int64),
         ref_lens=mk(ref_lens if ref_lens is not None else [L], np.int64),
+        ref_is_alt=np.asarray(
+            ref_is_alt if ref_is_alt is not None else [False], dtype=bool
+        ),
         hole_offsets=mk(hole_offsets, np.int64),
         hole_lens=mk(hole_lens, np.int64),
         hole_chars=mk(hole_chars, np.uint8),

@@ -177,3 +177,32 @@ def test_long_reads_300bp(setup):
     # add a 300bp read with a deletion
     reads = list(sim.reads) + [g[3000:3150] + g[3155:3305]]
     compare(setup, reads)
+
+
+def test_alt_contig_handling(setup):
+    # a duplicated contig marked ALT: the primary hit must land on the
+    # non-ALT reference, with the ALT hit demoted to secondary
+    g, _ = setup
+    chrom = g[:8000]
+    alt_piece = chrom[2000:3500]  # an "ALT haplotype" duplicate
+    idx = build_index(
+        [(1, "chr1", chrom), (2, "chr1_alt", alt_piece)],
+        alt_names={"chr1_alt"},
+    )
+    assert list(idx.ref_is_alt) == [False, True]
+    from bioseqdb_tpu.align.pipeline import align as align_fn
+
+    read = chrom[2500:2620]  # maps equally to chr1 and chr1_alt
+    res = align_fn([read], idx)[0]
+    assert res.mapped
+    prim = res.primary
+    assert prim.ref_name == "chr1"           # ALT never shadows primary
+    assert prim.ref_begin == 2500
+    alt_hits = [h for h in res.hits if h.ref_name == "chr1_alt"]
+    assert all(h.is_secondary for h in alt_hits)
+    # save/load round-trips the flags
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        idx.save(d)
+        from bioseqdb_tpu.index.fmindex import FMIndex
+        assert list(FMIndex.load(d).ref_is_alt) == [False, True]
