@@ -206,3 +206,25 @@ def test_alt_contig_handling(setup):
         idx.save(d)
         from bioseqdb_tpu.index.fmindex import FMIndex
         assert list(FMIndex.load(d).ref_is_alt) == [False, True]
+
+
+def test_overflow_fallback_on_repetitive_tract(setup):
+    # reads inside a long homopolymer blow past the device seed caps;
+    # the overflow flag must route them to the host oracle and still
+    # produce oracle-equal records
+    g0, _ = setup
+    g = g0[:3000] + "A" * 800 + g0[3000:6000]
+    idx = build_index([("r", g)])
+    al = Aligner.build(idx, AlignOptions(), mode="full")
+    reads = ["A" * 120, g[2950:3070], g[500:620]]
+    batch = pack_reads(reads, ["polyA", "edge", "clean"])
+    import jax
+
+    out = jax.device_get(al.device_regions(batch))
+    assert out["overflow"][0] and not out["overflow"][2]
+    res = al.align_batch(batch)
+    for i, r in enumerate(reads):
+        want = O.align_read(idx, AlignOptions(), enc(r), rand_id=i)
+        got = [(h.ref_begin, h.cigar, h.score, h.mapq) for h in res[i].hits]
+        exp = [(a.pos, cigar_to_string(a.cigar), a.score, a.mapq) for a in want]
+        assert got == exp, (i, got, exp)
