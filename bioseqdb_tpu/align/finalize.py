@@ -98,6 +98,16 @@ def finalize_read(
             if 0 <= r.rid < len(idx.ref_is_alt):
                 r.is_alt = bool(idx.ref_is_alt[r.rid])
     regs = O.mark_primary(opt, regs, rand_id)
+    return emit_read_hits(idx, opt, q, regs, mat, name, query_id, all_hits)
+
+
+def emit_read_hits(
+    idx: FMIndex, opt: AlignOptions, q: np.ndarray, regs: list[O.AlnReg],
+    mat: np.ndarray, name: str, query_id: int | None, all_hits: bool = True,
+) -> ReadResult:
+    """Filter marked regions (min_score, XA_drop_ratio) and build the
+    final per-read records — shared by the device path and the host
+    oracle fallback so both apply identical output rules."""
     hits: list[Hit] = []
     xa: list[str] = []
     for r in regs:
@@ -147,17 +157,12 @@ def finalize_batch(
         q = batch.codes[i, : batch.lens[i]].astype(np.uint8)
         qid = i if with_query_ids else None
         if out["overflow"][i]:
-            # device caps exceeded: run the whole read on the host oracle
+            # device caps exceeded: run the whole read on the host oracle,
+            # then apply the same output rules as the device path
             regs = O.mem_align1(idx, opt, q, rand_id=i)
-            hits = []
-            for r in regs:
-                if r.score < opt.min_score:
-                    continue
-                if not all_hits and r.secondary >= 0:
-                    continue
-                aln = O.reg2aln(idx, opt, q, r, mat)
-                hits.append(aln_to_hit(idx, aln, r, name, qid))
-            results.append(ReadResult(query_name=name, hits=hits))
+            results.append(
+                emit_read_hits(idx, opt, q, regs, mat, name, qid, all_hits)
+            )
             continue
         frac = frac_rep_of(out["mems"][i], int(out["n_mem"][i]), max_occ,
                            int(batch.lens[i]))
