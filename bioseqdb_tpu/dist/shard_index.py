@@ -50,6 +50,8 @@ class FMSharded(NamedTuple):
     blocks: jnp.ndarray        # (n_shards, rows_per_shard, 12) P(index)
     sa_bits: jnp.ndarray       # (n_shards, rows2_per_shard, 5) P(index)
     sa_sample: jnp.ndarray     # replicated
+    occ_majors: jnp.ndarray    # replicated (tiny)
+    sa_majors: jnp.ndarray     # replicated (tiny)
     pac: jnp.ndarray           # (n_shards, bases_per_shard) int8 P(index)
     ref_offsets: jnp.ndarray   # replicated
     ref_lens: jnp.ndarray      # replicated
@@ -79,6 +81,8 @@ def shard_index(idx: FMIndex, mesh: Mesh, axis: str = "index") -> FMSharded:
         blocks=put_s(split(np.asarray(idx.blocks)), jnp.int32),
         sa_bits=put_s(split(np.asarray(idx.sa_bits)), jnp.int32),
         sa_sample=put_r(idx.sa_sample),
+        occ_majors=put_r(idx.occ_majors),
+        sa_majors=put_r(idx.sa_majors),
         pac=put_s(split(np.asarray(idx.pac)), jnp.int8),
         ref_offsets=put_r(idx.ref_offsets),
         ref_lens=put_r(idx.ref_lens),
@@ -93,6 +97,7 @@ def _local_fm(fms: FMSharded) -> kfm.FMDevice:
     return kfm.FMDevice(
         L2=fms.L2, primary=fms.primary, blocks=fms.blocks[0],
         sa_sample=fms.sa_sample, sa_bits=fms.sa_bits[0],
+        occ_majors=fms.occ_majors, sa_majors=fms.sa_majors,
         ref_offsets=fms.ref_offsets, ref_lens=fms.ref_lens,
         l_pac=fms.l_pac, seq_len=fms.seq_len,
     )
@@ -104,6 +109,7 @@ def _in_specs(mesh, axis, data_axis=None, n_batch=0):
     batch = P(data_axis) if data_axis else P()
     fm_specs = FMSharded(
         L2=rep, primary=rep, blocks=table, sa_bits=table, sa_sample=rep,
+        occ_majors=rep, sa_majors=rep,
         pac=table, ref_offsets=rep, ref_lens=rep, l_pac=rep, seq_len=rep,
     )
     return (fm_specs,) + (batch,) * n_batch
@@ -141,6 +147,7 @@ def backward_search_sharded(fms: FMSharded, codes, lens, mesh: Mesh,
         inner, mesh=mesh,
         in_specs=_in_specs(mesh, axis, None, 2),
         out_specs=(P(), P()),
+        check_vma=False,
     )(fms, codes, lens)
 
 
@@ -156,6 +163,7 @@ def sa_resolve_sharded(fms: FMSharded, ranks, mesh: Mesh, axis: str = "index",
         inner, mesh=mesh,
         in_specs=_in_specs(mesh, axis, None, 1),
         out_specs=P(),
+        check_vma=False,
     )(fms, ranks)
 
 

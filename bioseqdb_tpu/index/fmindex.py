@@ -53,6 +53,8 @@ import numpy as np
 from bioseqdb_tpu.index.native.build import suffix_array
 
 OCC_BLOCK = 128          # bases covered per checkpoint block
+MAJOR_BLOCKS = 1 << 15   # minor-checkpoint span: 2^15 blocks = 4.2M bases,
+                         # keeping minor counts within int32 at any scale
 WORDS_PER_BLOCK = OCC_BLOCK // 16
 BLOCK_COLS = 4 + WORDS_PER_BLOCK
 SA_INTERVAL = 32
@@ -68,6 +70,11 @@ class FMIndex:
     sa_sample: np.ndarray      # int32[n_marked] SA values of marked ranks, rank order
     sa_bits: np.ndarray        # int32[nb, 5] mark bit-rank blocks (ckpt + 4 words)
     pac: np.ndarray            # uint8[l_pac] forward 2-bit codes (with hole filler)
+    # major checkpoints (int64): blocks/sa_bits minor counts are relative
+    # to these every MAJOR_BLOCKS rows, so the int32 block layout holds
+    # beyond 2^31 bases. All-zero single rows for small indexes.
+    occ_majors: np.ndarray = field(default_factory=lambda: np.zeros((1, 4), np.int64))
+    sa_majors: np.ndarray = field(default_factory=lambda: np.zeros(1, np.int64))
     sa_interval: int = SA_INTERVAL
     # reference annotations (bntann1_t replacement)
     ref_ids: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
@@ -101,7 +108,9 @@ class FMIndex:
         j = int(j)
         b, r = divmod(j, OCC_BLOCK)
         row = self.blocks[b]
-        count = int(row[c]) & 0xFFFFFFFF
+        count = (int(row[c]) & 0xFFFFFFFF) + int(
+            self.occ_majors[min(b // MAJOR_BLOCKS, len(self.occ_majors) - 1), c]
+        )
         words = np.asarray(row[4:]).view(np.uint32)
         full, rem = divmod(r, 16)
         pat = np.uint32(int(c) * 0x55555555)
@@ -188,7 +197,9 @@ class FMIndex:
     def sa_slot(self, r: int) -> int:
         """Number of marked ranks before rank r (its sa_sample slot)."""
         row = self.sa_bits[r >> 7]
-        cnt = int(row[0])
+        cnt = (int(row[0]) & 0xFFFFFFFF) + int(
+            self.sa_majors[min((r >> 7) // MAJOR_BLOCKS, len(self.sa_majors) - 1)]
+        )
         w = (r >> 5) & 3
         for i in range(w):
             cnt += bin(int(row[1 + i]) & 0xFFFFFFFF).count("1")
@@ -246,7 +257,8 @@ class FMIndex:
         os.makedirs(path, exist_ok=True)
         arrays = dict(
             L2=self.L2, blocks=self.blocks, sa_sample=self.sa_sample,
-            sa_bits=self.sa_bits,
+            sa_bits=self.sa_bits, occ_majors=self.occ_majors,
+            sa_majors=self.sa_majors,
             pac=self.pac, ref_ids=self.ref_ids, ref_offsets=self.ref_offsets,
             ref_lens=self.ref_lens, ref_is_alt=self.ref_is_alt,
             hole_offsets=self.hole_offsets,
@@ -280,6 +292,7 @@ class FMIndex:
             ref_names=list(meta["ref_names"]),
             L2=np.asarray(ld("L2")), blocks=ld("blocks"),
             sa_sample=ld("sa_sample"), sa_bits=ld("sa_bits"),
+            occ_majors=ld("occ_majors"), sa_majors=ld("sa_majors"),
             pac=ld("pac"), ref_ids=ld("ref_ids"),
             ref_offsets=ld("ref_offsets"), ref_lens=ld("ref_lens"),
             ref_is_alt=ld("ref_is_alt"),
@@ -288,9 +301,11 @@ class FMIndex:
         )
 
 
-def _pack_mark_bits(mark: np.ndarray) -> np.ndarray:
+def _pack_mark_bits(mark: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Bit-rank blocks over the rank-mark bitvector: per 128 ranks, an
-    exclusive popcount checkpoint + 4 words (LSB-first bit order)."""
+    exclusive popcount checkpoint + 4 words (LSB-first bit order).
+    Checkpoints are stored relative to int64 major checkpoints every
+    MAJOR_BLOCKS rows; returns (bits, majors)."""
     m = mark.shape[0]
     nb = (m + 127) // 128
     padded = np.zeros(nb * 128, dtype=bool)
@@ -301,10 +316,12 @@ def _pack_mark_bits(mark: np.ndarray) -> np.ndarray:
     counts = bits.sum(axis=(1, 2))
     ckpt = np.zeros(nb, dtype=np.int64)
     ckpt[1:] = np.cumsum(counts)[:-1]
+    majors = ckpt[::MAJOR_BLOCKS].copy()
+    rel = ckpt - np.repeat(majors, MAJOR_BLOCKS)[:nb]
     out = np.empty((nb, 5), dtype=np.int32)
-    out[:, 0] = ckpt.astype(np.uint32).view(np.int32)
+    out[:, 0] = rel.astype(np.uint32).view(np.int32)
     out[:, 1:] = words.astype(np.uint32).view(np.int32).reshape(nb, 4)
-    return out
+    return out, majors
 
 
 def _pack_blocks(stored: np.ndarray) -> np.ndarray:
@@ -325,14 +342,18 @@ def _pack_blocks(stored: np.ndarray) -> np.ndarray:
     ckpt[1:] = np.cumsum(counts, axis=0)[:-1]
     # (padding bases live only in the final block, after every checkpoint,
     # so the exclusive sums are unaffected by them)
+    # int64 major checkpoints every MAJOR_BLOCKS rows keep the per-block
+    # minor counts within int32 at any text size
+    majors = ckpt[::MAJOR_BLOCKS].copy()
+    rel = ckpt - np.repeat(majors, MAJOR_BLOCKS, axis=0)[:n_blocks]
     # pack 16 bases/word, big-endian within word
     shifts = (2 * (15 - np.arange(16, dtype=np.uint64))).astype(np.uint64)
     grp = by_block.reshape(n_blocks, WORDS_PER_BLOCK, 16).astype(np.uint64)
     words = (grp << shifts[None, None, :]).sum(axis=2).astype(np.uint32)
     out = np.empty((n_blocks, BLOCK_COLS), dtype=np.int32)
-    out[:, :4] = ckpt.astype(np.uint32).view(np.int32).reshape(n_blocks, 4)
+    out[:, :4] = rel.astype(np.uint32).view(np.int32).reshape(n_blocks, 4)
     out[:, 4:] = words.view(np.int32)
-    return out
+    return out, majors
 
 
 def build_fmindex_from_codes(
@@ -356,11 +377,9 @@ def build_fmindex_from_codes(
     pac = np.ascontiguousarray(pac, dtype=np.uint8)
     L = int(pac.shape[0])
     n = 2 * L
-    if n + 1 >= 2**31:
-        raise NotImplementedError(
-            "single-shard index limited to 2^31 doubled bases; "
-            "use the interval-sharded builder for larger references"
-        )
+    # beyond 2^31 doubled bases the host path (build, serialization, the
+    # oracle aligner) is fully supported via the int64 major checkpoints;
+    # the DEVICE pipeline still requires int32 ranks (ROADMAP.md item 1)
     S = np.concatenate([pac, (3 - pac)[::-1]])
     sa = suffix_array(S)  # n+1 entries, sa[0] = n
     primary = int(np.flatnonzero(sa == 0)[0])
@@ -369,17 +388,18 @@ def build_fmindex_from_codes(
     stored = S[nz - 1]
     L2 = np.zeros(5, dtype=np.int64)
     L2[1:] = np.cumsum(np.bincount(S, minlength=4)[:4])
-    blocks = _pack_blocks(stored)
+    blocks, occ_majors = _pack_blocks(stored)
     # position-sampled SA: mark ranks whose SA value is a multiple of the
     # interval; bounds every LF resolution walk at interval-1 steps
     mark = (sa % sa_interval) == 0
-    sa_sample = sa[mark].astype(np.int32)
-    sa_bits = _pack_mark_bits(mark)
+    sa_sample = sa[mark].astype(np.int32 if n < 2**31 else np.int64)
+    sa_bits, sa_majors = _pack_mark_bits(mark)
     mk = lambda x, dt: np.asarray(x if x is not None else [], dtype=dt)
     n_refs_known = ref_names is not None
     return FMIndex(
         l_pac=L, seq_len=n, primary=primary, L2=L2, blocks=blocks,
-        sa_sample=sa_sample, sa_bits=sa_bits, pac=pac, sa_interval=sa_interval,
+        sa_sample=sa_sample, sa_bits=sa_bits, occ_majors=occ_majors,
+        sa_majors=sa_majors, pac=pac, sa_interval=sa_interval,
         ref_ids=mk(ref_ids, np.int64),
         ref_names=list(ref_names) if n_refs_known else ["0"],
         ref_offsets=mk(ref_offsets if ref_offsets is not None else [0], np.int64),

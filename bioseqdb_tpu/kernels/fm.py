@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from bioseqdb_tpu.index.fmindex import OCC_BLOCK, FMIndex
+from bioseqdb_tpu.index.fmindex import MAJOR_BLOCKS, OCC_BLOCK, FMIndex
 
 # mask of the first v bases of a packed big-endian word, v in [0, 16]
 _MASK_TABLE = np.zeros(17, dtype=np.uint32)
@@ -29,6 +29,8 @@ for _v in range(17):
 
 _LOG2_OCC_BLOCK = 7
 assert OCC_BLOCK == 1 << _LOG2_OCC_BLOCK
+_LOG2_MAJOR = MAJOR_BLOCKS.bit_length() - 1
+assert MAJOR_BLOCKS == 1 << _LOG2_MAJOR
 
 
 class FMDevice(NamedTuple):
@@ -39,6 +41,8 @@ class FMDevice(NamedTuple):
     blocks: jnp.ndarray      # (n_blocks, 12) int32
     sa_sample: jnp.ndarray   # (n_marked,) int32 SA values of marked ranks
     sa_bits: jnp.ndarray     # (nb, 5) int32 mark bit-rank blocks
+    occ_majors: jnp.ndarray  # (nm, 4) int32 major Occ checkpoints
+    sa_majors: jnp.ndarray   # (nm2,) int32 major mark-count checkpoints
     ref_offsets: jnp.ndarray # (n_refs,) int32
     ref_lens: jnp.ndarray    # (n_refs,) int32
     l_pac: jnp.ndarray       # () int32
@@ -53,6 +57,8 @@ class FMDevice(NamedTuple):
             blocks=put(idx.blocks),
             sa_sample=put(idx.sa_sample),
             sa_bits=put(idx.sa_bits),
+            occ_majors=put(idx.occ_majors),
+            sa_majors=put(idx.sa_majors),
             ref_offsets=put(idx.ref_offsets),
             ref_lens=put(idx.ref_lens),
             l_pac=put(idx.l_pac),
@@ -98,13 +104,20 @@ def _owner_sum(val: jnp.ndarray, mine, axis: str | None) -> jnp.ndarray:
     return jax.lax.psum(jnp.where(shaped, val, 0), axis)
 
 
+def _occ_major(fm: FMDevice, blk, c):
+    """Major-checkpoint contribution for global block indices (the minor
+    counts in `blocks` are relative to these every MAJOR_BLOCKS rows)."""
+    m = jnp.clip(blk >> _LOG2_MAJOR, 0, fm.occ_majors.shape[0] - 1)
+    return jnp.take_along_axis(fm.occ_majors[m], c[..., None], axis=-1)[..., 0]
+
+
 def occ_stored(fm: FMDevice, c, j, axis: str | None = None) -> jnp.ndarray:
     """Count of code c in the stored BWT prefix [0, j). Batched."""
     blk = j >> _LOG2_OCC_BLOCK
     r = j & (OCC_BLOCK - 1)
     row, mine = _table_row(fm.blocks, blk, axis)
     ckpt = jnp.take_along_axis(row[..., :4], c[..., None], axis=-1)[..., 0]
-    return _owner_sum(ckpt + _row_counts(row, c, r), mine, axis)
+    return _owner_sum(ckpt + _row_counts(row, c, r), mine, axis) + _occ_major(fm, blk, c)
 
 
 def occB(fm: FMDevice, c, r, axis: str | None = None) -> jnp.ndarray:
@@ -120,7 +133,8 @@ def occ4_stored(fm: FMDevice, j, axis: str | None = None) -> jnp.ndarray:
     cs = jnp.arange(4, dtype=jnp.int32)
     cnt = _row_counts(row[..., None, :], jnp.broadcast_to(cs, j.shape + (4,)),
                       r[..., None])
-    return _owner_sum(row[..., :4] + cnt, mine, axis)
+    m = jnp.clip(blk >> _LOG2_MAJOR, 0, fm.occ_majors.shape[0] - 1)
+    return _owner_sum(row[..., :4] + cnt, mine, axis) + fm.occ_majors[m]
 
 
 def occ4B(fm: FMDevice, r, axis: str | None = None) -> jnp.ndarray:
@@ -219,7 +233,8 @@ def _sa_slot(fm: FMDevice, r: jnp.ndarray, axis: str | None = None) -> jnp.ndarr
     mask = jnp.where(nbits >= 32, jnp.uint32(0xFFFFFFFF),
                      (jnp.uint32(1) << jnp.minimum(nbits, 31)) - jnp.uint32(1))
     part = jax.lax.population_count(words & mask).sum(axis=-1).astype(jnp.int32)
-    return _owner_sum(row[..., 0] + part, mine, axis)
+    major = fm.sa_majors[jnp.clip((r >> 7) >> _LOG2_MAJOR, 0, fm.sa_majors.shape[0] - 1)]
+    return _owner_sum(row[..., 0] + part, mine, axis) + major
 
 
 def sa_resolve(fm: FMDevice, ranks: jnp.ndarray, sa_interval: int = 32,
@@ -247,6 +262,7 @@ def sa_resolve(fm: FMDevice, ranks: jnp.ndarray, sa_interval: int = 32,
         c = ((word >> (2 * (15 - (off & 15))).astype(jnp.uint32)) & 3).astype(jnp.int32)
         ckpt = jnp.take_along_axis(row[..., :4], c[..., None], axis=-1)[..., 0]
         lf = _owner_sum(fm.L2[c] + ckpt + _row_counts(row, c, off) + 1, mine, axis)
+        lf = lf + _occ_major(fm, blk, c)
         nxt = jnp.where(r == fm.primary, 0, lf)
         r = jnp.where(done, r, nxt)
         steps = jnp.where(done, steps, steps + 1)

@@ -115,3 +115,36 @@ def test_rid_of_multi_ref():
     pos = jnp.asarray(np.array([0, 9, 10, 17, 18, 77], np.int32))
     got = list(np.asarray(kfm.rid_of(fm, pos)))
     assert got == [0, 0, 1, 1, 2, 2]
+
+
+def test_major_checkpoints_engaged(monkeypatch):
+    """Force a tiny major span so the major/minor checkpoint split is
+    exercised at small scale on both host and device paths."""
+    import bioseqdb_tpu.index.fmindex as fmx
+    import bioseqdb_tpu.kernels.fm as kfm2
+
+    monkeypatch.setattr(fmx, "MAJOR_BLOCKS", 4)
+    monkeypatch.setattr(kfm2, "MAJOR_BLOCKS", 4)
+    monkeypatch.setattr(kfm2, "_LOG2_MAJOR", 2)
+    rng = np.random.default_rng(55)
+    pac = rng.integers(0, 4, size=3000, dtype=np.uint8)  # ~47 blocks -> 12 majors
+    idx = fmx.build_fmindex_from_codes(pac)
+    assert idx.occ_majors.shape[0] > 1 and (np.asarray(idx.occ_majors) != 0).any()
+    # host ops vs naive
+    S = np.concatenate([pac, (3 - pac)[::-1]])
+    for _ in range(20):
+        m = int(rng.integers(1, 14))
+        st = int(rng.integers(0, len(S) - m))
+        pat = S[st : st + m]
+        lo, hi = idx.backward_search(pat)
+        naive = sum(
+            1 for i in range(len(S) - m + 1)
+            if np.array_equal(S[i : i + m], pat)
+        )
+        assert hi - lo == naive
+    # device ops agree
+    fm = kfm2.FMDevice.from_host(idx)
+    ranks = jnp.asarray(rng.integers(1, idx.seq_len + 1, 128).astype(np.int32))
+    got = np.asarray(kfm2.sa_resolve(fm, ranks))
+    want = np.array([idx.sa_at(int(r)) for r in np.asarray(ranks)])
+    assert np.array_equal(got, want)
