@@ -8,8 +8,10 @@ bwa.cpp:149) becomes TPU-shaped work: one 48-byte row gather from the
 interleaved ``blocks`` array per rank query, then vectorized 2-bit
 popcounts on the VPU, batched over thousands of read lanes.
 
-All arrays are int32 (single-shard indices cap at 2^31 doubled bases;
-human-scale sharding splits by BWT interval instead — SURVEY.md §5).
+Rank values are int32 on device (caps device execution at 2^31 doubled
+bases per index; the host path supports beyond via the int64 major
+checkpoints, and human-scale capacity shards tables by BWT interval —
+SURVEY.md §5, ROADMAP.md #1 for device int64 ranks).
 """
 
 from __future__ import annotations
