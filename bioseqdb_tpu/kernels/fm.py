@@ -8,10 +8,11 @@ bwa.cpp:149) becomes TPU-shaped work: one 48-byte row gather from the
 interleaved ``blocks`` array per rank query, then vectorized 2-bit
 popcounts on the VPU, batched over thousands of read lanes.
 
-Rank values are int32 on device (caps device execution at 2^31 doubled
-bases per index; the host path supports beyond via the int64 major
-checkpoints, and human-scale capacity shards tables by BWT interval —
-SURVEY.md §5, ROADMAP.md #1 for device int64 ranks).
+Rank values follow the index scale: int32 below 2^31 doubled bases,
+int64 beyond (FMDevice.from_host auto-selects; int64 requires jax x64).
+The packed tables stay int32 at any scale thanks to the relative minor
+checkpoints; human-scale capacity additionally shards tables by BWT
+interval (SURVEY.md §5).
 """
 
 from __future__ import annotations
@@ -51,21 +52,39 @@ class FMDevice(NamedTuple):
     seq_len: jnp.ndarray     # () int32
 
     @classmethod
-    def from_host(cls, idx: FMIndex, device=None) -> "FMDevice":
-        put = lambda x: jax.device_put(jnp.asarray(np.asarray(x), jnp.int32), device)
+    def from_host(cls, idx: FMIndex, device=None,
+                  rank_dtype=None) -> "FMDevice":
+        """Device arrays for an index. Rank-valued arrays use
+        ``rank_dtype`` (auto: int64 when the index exceeds int32 rank
+        range — requires jax x64 to be enabled, e.g. via
+        ``jax.enable_x64()``); the packed tables stay int32
+        by construction (relative minor checkpoints)."""
+        if rank_dtype is None:
+            rank_dtype = jnp.int64 if idx.seq_len + 1 >= 2**31 else jnp.int32
+        if rank_dtype == jnp.int64 and not jax.config.jax_enable_x64:
+            raise ValueError(
+                "index exceeds int32 rank range; enable x64 "
+                "(jax.enable_x64) to run it on device"
+            )
+        putr = lambda x: jax.device_put(jnp.asarray(np.asarray(x), rank_dtype), device)
+        put32 = lambda x: jax.device_put(jnp.asarray(np.asarray(x), jnp.int32), device)
         return cls(
-            L2=put(idx.L2),
-            primary=put(idx.primary),
-            blocks=put(idx.blocks),
-            sa_sample=put(idx.sa_sample),
-            sa_bits=put(idx.sa_bits),
-            occ_majors=put(idx.occ_majors),
-            sa_majors=put(idx.sa_majors),
-            ref_offsets=put(idx.ref_offsets),
-            ref_lens=put(idx.ref_lens),
-            l_pac=put(idx.l_pac),
-            seq_len=put(idx.seq_len),
+            L2=putr(idx.L2),
+            primary=putr(idx.primary),
+            blocks=put32(idx.blocks),
+            sa_sample=putr(idx.sa_sample),
+            sa_bits=put32(idx.sa_bits),
+            occ_majors=putr(idx.occ_majors),
+            sa_majors=putr(idx.sa_majors),
+            ref_offsets=putr(idx.ref_offsets),
+            ref_lens=putr(idx.ref_lens),
+            l_pac=putr(idx.l_pac),
+            seq_len=putr(idx.seq_len),
         )
+
+    @property
+    def rank_dtype(self):
+        return self.sa_sample.dtype
 
 
 def _row_counts(row: jnp.ndarray, c: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
@@ -124,7 +143,7 @@ def occ_stored(fm: FMDevice, c, j, axis: str | None = None) -> jnp.ndarray:
 
 def occB(fm: FMDevice, c, r, axis: str | None = None) -> jnp.ndarray:
     """Count of code c in the conceptual BWT prefix B[0, r) (skips $)."""
-    return occ_stored(fm, c, r - (r > fm.primary).astype(jnp.int32), axis)
+    return occ_stored(fm, c, r - (r > fm.primary).astype(r.dtype), axis)
 
 
 def occ4_stored(fm: FMDevice, j, axis: str | None = None) -> jnp.ndarray:
@@ -140,7 +159,7 @@ def occ4_stored(fm: FMDevice, j, axis: str | None = None) -> jnp.ndarray:
 
 
 def occ4B(fm: FMDevice, r, axis: str | None = None) -> jnp.ndarray:
-    return occ4_stored(fm, r - (r > fm.primary).astype(jnp.int32), axis)
+    return occ4_stored(fm, r - (r > fm.primary).astype(r.dtype), axis)
 
 
 def backward_ext(fm: FMDevice, lo, hi, c, axis: str | None = None):
@@ -177,8 +196,9 @@ def backward_search(fm: FMDevice, codes: jnp.ndarray, lens: jnp.ndarray):
         hi = jnp.where(active, nhi, jnp.where(bad, 1, hi))
         return lo, hi
 
-    lo0 = jnp.zeros(B, jnp.int32)
-    hi0 = jnp.broadcast_to(n1.astype(jnp.int32), (B,))
+    rdt = fm.seq_len.dtype
+    lo0 = jnp.zeros(B, rdt)
+    hi0 = jnp.broadcast_to(n1.astype(rdt), (B,))
     lo, hi = jax.lax.fori_loop(0, W, step, (lo0, hi0))
     empty = (hi <= lo) | (lens == 0)
     return jnp.where(empty, 0, lo), jnp.where(empty, 0, hi)
@@ -247,7 +267,7 @@ def sa_resolve(fm: FMDevice, ranks: jnp.ndarray, sa_interval: int = 32,
     steps, so this is a fixed-trip loop with lane masking — no
     data-dependent shapes, TPU-friendly (SURVEY.md §7).
     """
-    r = ranks.astype(jnp.int32)
+    r = ranks.astype(fm.sa_sample.dtype)
     steps = jnp.zeros_like(r)
 
     def body(_, state):
@@ -255,7 +275,7 @@ def sa_resolve(fm: FMDevice, ranks: jnp.ndarray, sa_interval: int = 32,
         done = _sa_marked(fm, r, axis)
         # one-gather inv_psi: j = r - (r > primary); c = stored[j];
         # LF = L2[c] + occ_stored(c, j) + 1
-        j = r - (r > fm.primary).astype(jnp.int32)
+        j = r - (r > fm.primary).astype(r.dtype)
         blk = j >> _LOG2_OCC_BLOCK
         off = j & (OCC_BLOCK - 1)
         row, mine = _table_row(fm.blocks, blk, axis)

@@ -148,3 +148,40 @@ def test_major_checkpoints_engaged(monkeypatch):
     got = np.asarray(kfm2.sa_resolve(fm, ranks))
     want = np.array([idx.sa_at(int(r)) for r in np.asarray(ranks)])
     assert np.array_equal(got, want)
+
+
+def test_int64_rank_dtype_path(pair):
+    """Forced int64 rank arrays (the >2^31-index configuration) must
+    produce identical results to the int32 path."""
+    import jax
+    from jax import enable_x64
+
+    idx, fm32 = pair
+    with enable_x64():
+        fm64 = kfm.FMDevice.from_host(idx, rank_dtype=jnp.int64)
+        assert fm64.sa_sample.dtype == jnp.int64
+        assert fm64.blocks.dtype == jnp.int32  # tables stay int32
+        rng = np.random.default_rng(8)
+        rs = jnp.asarray(rng.integers(0, idx.seq_len + 1, 64), jnp.int64)
+        got = np.asarray(kfm.occ4B(fm64, rs))
+        want = np.asarray(kfm.occ4B(fm32, rs.astype(jnp.int32)))
+        assert np.array_equal(got, want)
+        ranks = jnp.asarray(rng.integers(1, idx.seq_len + 1, 128), jnp.int64)
+        got = np.asarray(kfm.sa_resolve(fm64, ranks))
+        want = np.asarray(kfm.sa_resolve(fm32, ranks.astype(jnp.int32)))
+        assert np.array_equal(got, want)
+        codes = jnp.asarray(rng.integers(0, 4, (16, 20)), jnp.int32)
+        lens = jnp.full(16, 20, jnp.int32)
+        lo64, hi64 = kfm.backward_search(fm64, codes, lens)
+        assert lo64.dtype == jnp.int64
+    lo32, hi32 = kfm.backward_search(fm32, codes, lens)
+    assert np.array_equal(np.asarray(lo64), np.asarray(lo32))
+    assert np.array_equal(np.asarray(hi64), np.asarray(hi32))
+
+
+def test_big_index_requires_x64_guard():
+    import types
+
+    fake = types.SimpleNamespace(seq_len=2**31, L2=None)
+    with pytest.raises(ValueError, match="enable x64"):
+        kfm.FMDevice.from_host(fake)
