@@ -216,7 +216,9 @@ def main(argv=None) -> int:
     pa.add_argument("reads")
     pa.add_argument("--mate", help="mate FASTA/FASTQ for paired-end alignment")
     pa.add_argument("-o", "--output", default="-")
-    pa.add_argument("--batch-size", type=int, default=65536)
+    # full-mode device cost is ~per-read-constant (BENCH_NOTES.md);
+    # moderate batches compile fast and pipeline well with finalize
+    pa.add_argument("--batch-size", type=int, default=2048)
     # scoring/heuristic knobs mirroring bwa mem's flags and the reference
     # SQL bwa_options fields (bioseqdb--0.0.0.sql:160-194)
     pa.add_argument("-k", "--min-seed-len", type=int, default=19)
