@@ -14,10 +14,10 @@ pairing layer as clean-room equivalents:
 - ``mem_pair``: best-scoring consistent pair across the two ends'
   candidate regions with the erfc insert-size bonus; unpaired fallback
   with ``pen_unpaired``; PE MAPQ uplift (min(q_se+40, q_pe) rule).
-
-Mate-rescue SW (mem_matesw) is not yet implemented — pairs where one
-end is unmapped emit an unmapped-mate record rather than attempting a
-windowed rescue; noted in README status.
+- ``mem_matesw``: mate rescue — when no mate region is
+  pairing-consistent with an anchor, the mate (or its revcomp) is
+  locally aligned (native ksw_local) inside each viable insert window
+  and rescued regions join pairing score-sorted.
 """
 
 from __future__ import annotations

@@ -267,7 +267,7 @@ class FMIndex:
         for name, arr in arrays.items():
             np.save(os.path.join(path, name + ".npy"), arr)
         meta = dict(
-            format_version=1, l_pac=self.l_pac, seq_len=self.seq_len,
+            format_version=2, l_pac=self.l_pac, seq_len=self.seq_len,
             primary=self.primary, sa_interval=self.sa_interval,
             ref_names=self.ref_names,
         )
@@ -279,7 +279,7 @@ class FMIndex:
         with open(os.path.join(path, "meta.json")) as fh:
             meta = json.load(fh)
         version = meta.get("format_version")
-        if version != 1:
+        if version != 2:  # v2 added the major checkpoint tables
             raise ValueError(
                 f"unsupported index format_version {version!r} at {path}; "
                 "rebuild the index with this version of bioseqdb-tpu"
