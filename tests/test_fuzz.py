@@ -31,15 +31,19 @@ enc = lambda s: LUT[np.frombuffer(s.encode(), np.uint8)]
 
 
 def make_genome(rng):
-    size = int(rng.integers(5_000, 40_000))
+    # genome sizes quantize to a few buckets so index shapes (and thus
+    # XLA compilations) are reused across cases — long soaks otherwise
+    # accumulate hundreds of distinct-shape compiles and can crash the
+    # XLA CPU compiler; mutations below preserve length
+    size = int(rng.choice([8_000, 16_000, 32_000]))
     g = simulate_genome(size, seed=int(rng.integers(1 << 30)))
-    # plant a repeat half the time
+    # plant a repeat half the time (by replacement, keeping length)
     if rng.random() < 0.5:
         rep_len = int(rng.integers(100, 400))
         rep = simulate_genome(rep_len, seed=int(rng.integers(1 << 30)))
-        p1 = int(rng.integers(0, size // 2))
+        p1 = int(rng.integers(0, size // 2 - rep_len))
         p2 = int(rng.integers(size // 2, size - rep_len))
-        g = g[:p1] + rep + g[p1:p2] + rep + g[p2:]
+        g = g[:p1] + rep + g[p1 + rep_len : p2] + rep + g[p2 + rep_len :]
     # sprinkle N runs
     if rng.random() < 0.4:
         gl = list(g)
@@ -48,7 +52,7 @@ def make_genome(rng):
             for k in range(int(rng.integers(1, 15))):
                 gl[p + k] = "N"
         g = "".join(gl)
-    # multi-reference split
+    # multi-reference split (total length unchanged)
     if rng.random() < 0.4:
         cut = int(rng.integers(len(g) // 4, 3 * len(g) // 4))
         return [(1, "rA", g[:cut]), (2, "rB", g[cut:])]
@@ -61,9 +65,9 @@ COMP = str.maketrans("ACGTN", "TGCAN")
 def make_reads(rng, refs):
     texts = [t for _, _, t in refs]
     reads = []
-    for _ in range(int(rng.integers(6, 14))):
+    for _ in range(int(rng.choice([8, 12]))):
         g = texts[int(rng.integers(len(texts)))]
-        L = int(rng.integers(40, min(151, len(g))))
+        L = int(rng.choice([48, 96, 144]))
         p = int(rng.integers(0, len(g) - L))
         r = g[p : p + L]
         kind = rng.integers(0, 6)
