@@ -95,9 +95,9 @@ def resolve_seeds(
     ok = valid & ~bridge & (rid_b == rid_e)
     return dict(
         rbeg=jnp.where(ok, pos, 0),
-        qbeg=jnp.where(ok, start, 0),
-        len=jnp.where(ok, slen, 0),
-        rid=jnp.where(ok, rid_b, -1),
+        qbeg=jnp.where(ok, start, 0).astype(jnp.int32),
+        len=jnp.where(ok, slen, 0).astype(jnp.int32),
+        rid=jnp.where(ok, rid_b, -1).astype(jnp.int32),
         valid=ok,
         overflow=overflow,
     )
@@ -119,14 +119,15 @@ def chain_seeds(
     B, S = seeds["rbeg"].shape
     C = max_chains
     i32 = jnp.int32
+    rdt = seeds["rbeg"].dtype  # rank dtype (int64 for >2^31 indexes)
 
     st = dict(
-        pos=jnp.zeros((B, C), i32),
+        pos=jnp.zeros((B, C), rdt),
         rid=jnp.full((B, C), -1, i32),
         f_qbeg=jnp.zeros((B, C), i32),
-        f_rbeg=jnp.zeros((B, C), i32),
+        f_rbeg=jnp.zeros((B, C), rdt),
         l_qbeg=jnp.zeros((B, C), i32),
-        l_rbeg=jnp.zeros((B, C), i32),
+        l_rbeg=jnp.zeros((B, C), rdt),
         l_len=jnp.zeros((B, C), i32),
         n=jnp.zeros(B, i32),
         assign=jnp.full((B, S), -1, i32),
@@ -238,9 +239,10 @@ def filter_chains(
 
     # chain weights: single pass over seeds (assigned in ascending qbeg
     # and rbeg order within each chain)
+    rdt = seeds["rbeg"].dtype
     st = dict(
         wq=jnp.zeros((B, C), i32), endq=jnp.zeros((B, C), i32),
-        wr=jnp.zeros((B, C), i32), endr=jnp.zeros((B, C), i32),
+        wr=jnp.zeros((B, C), i32), endr=jnp.zeros((B, C), rdt),
         beg=jnp.full((B, C), 1 << 29, i32), end=jnp.zeros((B, C), i32),
     )
 
@@ -255,12 +257,12 @@ def filter_chains(
         def acc(wname, ename, b):
             w = st[wname][rows, cis]
             e = st[ename][rows, cis]
-            add = jnp.where(b >= e, ln, jnp.maximum(b + ln - e, 0))
+            add = jnp.where(b >= e, ln, jnp.maximum(b + ln - e, 0)).astype(w.dtype)
             st[wname] = st[wname].at[rows, cis].set(
                 jnp.where(isin, w + add, w)
             )
             st[ename] = st[ename].at[rows, cis].set(
-                jnp.where(isin, jnp.maximum(e, b + ln), e)
+                jnp.where(isin, jnp.maximum(e, b + ln).astype(e.dtype), e)
             )
 
         st = dict(st)
@@ -286,7 +288,8 @@ def filter_chains(
     # process in weight-descending order; ties broken by chain pos
     # ascending (the pinned clean-room tie-break, cf. oracle chain_flt)
     pos_rank = jnp.argsort(jnp.argsort(
-        jnp.where(exists, chains["pos"], jnp.int32(0x7FFFFFFF)), axis=1,
+        jnp.where(exists, chains["pos"],
+                  jnp.asarray(0x7FFFFFFF, chains["pos"].dtype)), axis=1,
         stable=True), axis=1).astype(i32)
     combined = weight * C + (C - 1 - pos_rank)
     order = jnp.argsort(-combined, axis=1, stable=True).astype(i32)

@@ -96,6 +96,7 @@ def extend_all(
     C = chains["pos"].shape[1]
     R = max_regs
     i32 = jnp.int32
+    rdt = seeds["rbeg"].dtype  # rank dtype (int64 for >2^31 indexes)
     rows = jnp.arange(B)
     if max_qlen <= 0:
         max_qlen = int(codes.shape[1])
@@ -129,9 +130,9 @@ def extend_all(
     gap_r = cal_max_gap(qlen_rem, match_score, o_del, e_del, o_ins, e_ins, bandwidth)
     b_all = seeds["rbeg"] - (seeds["qbeg"] + gap_l)
     e_all = seeds["rbeg"] + slen + qlen_rem + gap_r
-    big = jnp.int32(1 << 30)
-    rmax0 = jnp.full((B, C), big, i32)
-    rmax1 = jnp.zeros((B, C), i32)
+    big = jnp.asarray(jnp.iinfo(rdt).max // 2, rdt)
+    rmax0 = jnp.full((B, C), big, rdt)
+    rmax1 = jnp.zeros((B, C), rdt)
 
     def rbody(s, state):
         rmax0, rmax1 = state
@@ -140,10 +141,10 @@ def extend_all(
         cur0 = rmax0[rows, c]
         cur1 = rmax1[rows, c]
         rmax0 = rmax0.at[rows, c].set(
-            jnp.where(isin, jnp.minimum(cur0, b_all[:, s]), cur0)
+            jnp.where(isin, jnp.minimum(cur0, b_all[:, s].astype(rdt)), cur0)
         )
         rmax1 = rmax1.at[rows, c].set(
-            jnp.where(isin, jnp.maximum(cur1, e_all[:, s]), cur1)
+            jnp.where(isin, jnp.maximum(cur1, e_all[:, s].astype(rdt)), cur1)
         )
         return rmax0, rmax1
 
@@ -168,7 +169,7 @@ def extend_all(
 
     # ---- extension rounds ----------------------------------------------
     regs = dict(
-        rb=jnp.zeros((B, R), i32), re=jnp.zeros((B, R), i32),
+        rb=jnp.zeros((B, R), rdt), re=jnp.zeros((B, R), rdt),
         qb=jnp.zeros((B, R), i32), qe=jnp.zeros((B, R), i32),
         score=jnp.zeros((B, R), i32), truesc=jnp.zeros((B, R), i32),
         w=jnp.zeros((B, R), i32), seedlen0=jnp.zeros((B, R), i32),
@@ -294,7 +295,7 @@ def extend_all(
 
         # ---- left extension ----
         lq = sq                            # length of reversed query prefix
-        lt = sr - r0                       # length of reversed target prefix
+        lt = (sr - r0).astype(i32)         # length of reversed target prefix
         qpos = sq[:, None] - 1 - wcols
         qbuf_l = jnp.where(
             (wcols < lq[:, None]) & (qpos >= 0),
@@ -328,7 +329,7 @@ def extend_all(
         qe0 = sq + sl
         rq = lens - qe0
         re0 = sr + sl
-        rt = r1_ - re0
+        rt = (r1_ - re0).astype(i32)
         qpos_r = qe0[:, None] + wcols
         qbuf_r = jnp.where(
             wcols < rq[:, None],
@@ -366,8 +367,8 @@ def extend_all(
             return regs[name].at[rows, slot_r].set(jnp.where(act, value, cur))
 
         regs = dict(regs)
-        regs["rb"] = put("rb", rb)
-        regs["re"] = put("re", re)
+        regs["rb"] = put("rb", rb.astype(rdt))
+        regs["re"] = put("re", re.astype(rdt))
         regs["qb"] = put("qb", qb)
         regs["qe"] = put("qe", qe)
         regs["score"] = put("score", score)

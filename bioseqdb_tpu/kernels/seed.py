@@ -73,6 +73,7 @@ def collect_seeds_device(
     B, W = codes.shape
     P, M = max_cand, max_mem
     i32 = jnp.int32
+    rdt = fm.seq_len.dtype  # rank dtype (int64 for >2^31 indexes)
     if max_iters <= 0:
         max_iters = 10 * W + 256
 
@@ -81,18 +82,18 @@ def collect_seeds_device(
         round=jnp.zeros(B, i32),
         x=jnp.zeros(B, i32),                      # pivot
         i=jnp.zeros(B, i32),                      # scan position
-        ik=jnp.zeros((B, 3), i32),                # current bi-interval
+        ik=jnp.zeros((B, 3), rdt),                # current bi-interval
         ik_end=jnp.zeros(B, i32),
-        cand=jnp.zeros((B, P, 4), i32),           # forward candidates (k,l,s,end)
+        cand=jnp.zeros((B, P, 4), rdt),           # forward candidates (k,l,s,end)
         n_cand=jnp.zeros(B, i32),
-        prev=jnp.zeros((B, P, 4), i32),
+        prev=jnp.zeros((B, P, 4), rdt),
         n_prev=jnp.zeros(B, i32),
-        curr=jnp.zeros((B, P, 4), i32),
+        curr=jnp.zeros((B, P, 4), rdt),
         n_curr=jnp.zeros(B, i32),
         j=jnp.zeros(B, i32),                      # index into prev
         ret=jnp.zeros(B, i32),                    # next pivot after smem1
-        min_intv=jnp.ones(B, i32),                # per-lane (round 2 overrides)
-        mems=jnp.zeros((B, M, 5), i32),
+        min_intv=jnp.ones(B, rdt),                # per-lane (round 2 overrides)
+        mems=jnp.zeros((B, M, 5), rdt),
         n_mem=jnp.zeros(B, i32),
         n_mem_r1=jnp.zeros(B, i32),               # count after round 1
         r2i=jnp.zeros(B, i32),                    # round-2 source mem index
@@ -111,8 +112,8 @@ def collect_seeds_device(
         c = jnp.clip(c, 0, 3)
         k = fm.L2[c] + 1
         l = fm.L2[3 - c] + 1
-        s = (fm.L2[c + 1] - fm.L2[c]).astype(i32)
-        return jnp.stack([k, l, s], axis=-1).astype(i32)
+        s = fm.L2[c + 1] - fm.L2[c]
+        return jnp.stack([k, l, s], axis=-1).astype(rdt)
 
     def push_row(buf, n, row, do):
         """Append `row` to per-lane buffer where `do`; returns new buf, n, ovf."""
@@ -181,7 +182,7 @@ def collect_seeds_device(
 
         at_r2 = at_pivot & (new["round"] == RD_RESEED)
         r2_src = st["mems"][jnp.arange(B), jnp.clip(st["r2i"], 0, M - 1)]
-        r2_len = r2_src[:, 4] - r2_src[:, 3]
+        r2_len = (r2_src[:, 4] - r2_src[:, 3]).astype(i32)
         r2_eligible = (r2_len >= split_len) & (r2_src[:, 2] <= split_width)
         r2_exhausted = at_r2 & (st["r2i"] >= new["n_mem_r1"])
         r2_skip = at_r2 & ~r2_exhausted & ~r2_eligible
@@ -203,7 +204,7 @@ def collect_seeds_device(
         go1 = p1 & (qx < 4)
         # round-2 pivot: x = (start+end)>>1, min_intv = s+1
         go2 = r2_go
-        piv2 = (r2_src[:, 3] + r2_src[:, 4]) >> 1
+        piv2 = ((r2_src[:, 3] + r2_src[:, 4]) >> 1).astype(i32)
         new["x"] = jnp.where(go2, piv2, new["x"])
         new["min_intv"] = jnp.where(go2, r2_src[:, 2] + 1, jnp.where(go1, 1, st["min_intv"]))
         go = go1 | go2
@@ -232,7 +233,9 @@ def collect_seeds_device(
         fwd_end_of_read = in_fwd & (i >= L)
         fwd_amb = in_fwd & (i < L) & (qi >= 4)
         fwd_ext = in_fwd & (i < L) & (qi < 4)
-        ik_row = jnp.concatenate([st["ik"], st["ik_end"][:, None]], axis=1)
+        ik_row = jnp.concatenate(
+            [st["ik"], st["ik_end"][:, None].astype(rdt)], axis=1
+        )
         # push current ik when: end-of-read, ambiguous, or size change
         size_change = fwd_ext & (ok_s != st["ik"][:, 2])
         push_fwd = fwd_end_of_read | fwd_amb | size_change
@@ -259,7 +262,7 @@ def collect_seeds_device(
         # ret (next round-1 pivot) = end of the longest candidate = last pushed
         lastc = jnp.clip(new["n_cand"] - 1, 0, P - 1)
         new["ret"] = jnp.where(
-            fwd_done, new["cand"][jnp.arange(B), lastc, 3], st["ret"]
+            fwd_done, new["cand"][jnp.arange(B), lastc, 3].astype(i32), st["ret"]
         )
         new["i"] = jnp.where(fwd_done, x - 1, new["i"])
         new["j"] = jnp.where(fwd_done, 0, st["j"])
@@ -274,10 +277,11 @@ def collect_seeds_device(
         fail = in_bwd & (~c_ok | (c_ok & (ok_s < st["min_intv"])))
         emit = fail & (st["n_curr"] == 0) & (bw_i + 1 < st["last_start"])
         # round filters: emit only seeds meeting the round's length rule
-        slen = p_iv[:, 3] - (bw_i + 1)
+        slen = (p_iv[:, 3].astype(i32)) - (bw_i + 1)
         emit = emit & (slen >= min_seed_len)
         mem_row = jnp.stack(
-            [p_iv[:, 0], p_iv[:, 1], p_iv[:, 2], bw_i + 1, p_iv[:, 3]], axis=1
+            [p_iv[:, 0], p_iv[:, 1], p_iv[:, 2],
+             (bw_i + 1).astype(rdt), p_iv[:, 3]], axis=1
         )
         new["mems"], new["n_mem"], ovf2 = push_row(
             new["mems"], new["n_mem"], mem_row, emit
@@ -290,7 +294,7 @@ def collect_seeds_device(
         last_s = st["curr"][jnp.arange(B), lastq, 2]
         distinct = (st["n_curr"] == 0) | (ok_s != last_s)
         push_bwd = keep & distinct
-        curr_row = jnp.stack([ok_k, ok_l, ok_s, p_iv[:, 3]], axis=1)
+        curr_row = jnp.stack([ok_k, ok_l, ok_s, p_iv[:, 3].astype(rdt)], axis=1)
         new["curr"], new["n_curr"], ovf3 = push_row(
             new["curr"], new["n_curr"], curr_row, push_bwd
         )
@@ -319,7 +323,8 @@ def collect_seeds_device(
         r3_ext = in_r3 & (i < L) & (qi < 4)
         hit = r3_ext & (ok_s < max_mem_intv) & ((i - x) >= min_seed_len)
         emit3 = hit & (ok_s > 0)
-        mem3 = jnp.stack([ok_k, ok_l, ok_s, x, i + 1], axis=1)
+        mem3 = jnp.stack([ok_k, ok_l, ok_s, x.astype(rdt),
+                          (i + 1).astype(rdt)], axis=1)
         new["mems"], new["n_mem"], ovf4 = push_row(
             new["mems"], new["n_mem"], mem3, emit3
         )

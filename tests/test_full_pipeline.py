@@ -228,3 +228,44 @@ def test_overflow_fallback_on_repetitive_tract(setup):
         got = [(h.ref_begin, h.cigar, h.score, h.mapq) for h in res[i].hits]
         exp = [(a.pos, cigar_to_string(a.cigar), a.score, a.mapq) for a in want]
         assert got == exp, (i, got, exp)
+
+
+def test_full_pipeline_int64_ranks(setup):
+    """The whole device pipeline with int64 rank arrays (the >2^31-index
+    configuration, under jax x64) must equal the int32 pipeline."""
+    import jax
+    from jax import enable_x64
+    import jax.numpy as jnp
+    from bioseqdb_tpu.cpu.ksw import fill_scmat
+    from bioseqdb_tpu.align.pipeline import full_align_step
+    from bioseqdb_tpu.kernels import fm as kfm
+
+    g, idx = setup
+    opt = AlignOptions()
+    sim = simulate_reads(g, 12, read_len=120, sub_rate=0.03, seed=88)
+    batch = pack_reads(sim.reads, sim.names)
+    mat = np.asarray(fill_scmat(1, 4), np.int32)
+    kw = dict(
+        min_seed_len=19, split_len=29, split_width=10, max_mem_intv=20,
+        max_occ=500, max_seeds=64, max_chains=16,
+        match_score=1, mismatch_penalty=4, o_del=6, e_del=1, o_ins=6,
+        e_ins=1, bandwidth=100, zdrop=100, pen_clip5=5, pen_clip3=5,
+        min_chain_weight=0, max_chain_gap=10000,
+        mask_level=0.5, chain_drop_ratio=0.5,
+    )
+    fm32 = kfm.FMDevice.from_host(idx)
+    import jax as _j
+    pac32 = jnp.asarray(np.asarray(idx.pac), jnp.int8)
+    out32 = _j.device_get(full_align_step(
+        fm32, pac32, jnp.asarray(batch.codes, jnp.int32),
+        jnp.asarray(batch.lens, jnp.int32), jnp.asarray(mat), **kw))
+    with enable_x64():
+        fm64 = kfm.FMDevice.from_host(idx, rank_dtype=jnp.int64)
+        out64 = _j.device_get(full_align_step(
+            fm64, pac32, jnp.asarray(batch.codes, jnp.int32),
+            jnp.asarray(batch.lens, jnp.int32), jnp.asarray(mat), **kw))
+    assert not out64["overflow"].any()
+    for f in ("rb", "re", "qb", "qe", "score", "truesc", "seedcov"):
+        assert np.array_equal(out64["regs"][f], out32["regs"][f]), f
+    assert np.array_equal(out64["n_regs"], out32["n_regs"])
+    assert out64["regs"]["rb"].dtype == np.int64
