@@ -193,3 +193,50 @@ def test_mate_rescue_recovers_unseedable_mate():
     assert res2.primary.is_reverse
     assert res2.primary.cigar.count("M") == 1
     assert res2.pe.flag_extra & 0x2  # proper pair after rescue
+
+
+@pytest.mark.parametrize("case", range(int(__import__("os").environ.get("PE_FUZZ_CASES", "3"))))
+def test_pe_invariants_fuzz(case):
+    """Randomized paired-end runs checked against SAM pairing invariants:
+    flag consistency, TLEN antisymmetry, mate cross-references, proper-
+    pair implications, and truth positions for clean pairs."""
+    rng = np.random.default_rng(4321 + case)
+    g = simulate_genome(32_000, seed=int(rng.integers(1 << 30)))
+    idx = build_index([("ref", g)])
+    mean = float(rng.integers(250, 450))
+    sub_rate = float(rng.choice([0.0, 0.02]))
+    r1, r2, inserts = simulate_pairs(
+        g, 24, read_len=int(rng.choice([96, 144])), insert_mean=mean,
+        insert_std=float(rng.integers(15, 40)),
+        sub_rate=sub_rate,
+        seed=int(rng.integers(1 << 30)),
+    )
+    al = Aligner.build(idx, AlignOptions(), mode="full")
+    pairs = al.align_pairs(pack_reads(r1.reads, r1.names),
+                           pack_reads(r2.reads, r2.names))
+    n_proper = 0
+    for i, (res1, res2) in enumerate(pairs):
+        pe1, pe2 = res1.pe, res2.pe
+        assert pe1.flag_extra & 0x1 and pe2.flag_extra & 0x1
+        assert pe1.flag_extra & 0x40 and pe2.flag_extra & 0x80
+        # mate-reverse bits mirror the mate's strand
+        if res1.mapped and res2.mapped:
+            assert bool(pe1.flag_extra & 0x20) == res2.primary.is_reverse
+            assert bool(pe2.flag_extra & 0x20) == res1.primary.is_reverse
+            p1 = (pe1.flag_extra & 0x2) != 0
+            p2 = (pe2.flag_extra & 0x2) != 0
+            assert p1 == p2  # proper flag symmetric
+            if p1:
+                n_proper += 1
+                assert pe1.tlen == -pe2.tlen and pe1.tlen != 0
+                assert pe1.rnext == "=" and pe2.rnext == "="
+                assert pe1.pnext == res2.primary.ref_begin
+                assert pe2.pnext == res1.primary.ref_begin
+            # simulated pairs land at truth (mutated reads may soft-clip
+            # end-proximal substitution clusters, shifting POS slightly)
+            tol = 0 if sub_rate == 0.0 else 20
+            assert abs(res1.primary.ref_begin - r1.positions[i]) <= tol
+            assert abs(res2.primary.ref_begin - r2.positions[i]) <= tol
+        if not res2.mapped:
+            assert pe1.flag_extra & 0x8
+    assert n_proper >= 20  # stats converge for same-distribution batches
