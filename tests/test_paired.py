@@ -232,11 +232,13 @@ def test_pe_invariants_fuzz(case):
                 assert pe1.rnext == "=" and pe2.rnext == "="
                 assert pe1.pnext == res2.primary.ref_begin
                 assert pe2.pnext == res1.primary.ref_begin
-            # simulated pairs land at truth (mutated reads may soft-clip
-            # end-proximal substitution clusters, shifting POS slightly)
-            tol = 0 if sub_rate == 0.0 else 20
-            assert abs(res1.primary.ref_begin - r1.positions[i]) <= tol
-            assert abs(res2.primary.ref_begin - r2.positions[i]) <= tol
+            # simulated pairs land at truth, within soft-clip shifts:
+            # mutated reads clip end-proximal substitution clusters, and
+            # insert-size outliers can be mate-rescued inside the expected
+            # window with the window boundary clipping a few bases (bwa
+            # behaves the same) — POS then shifts by the clip length
+            assert abs(res1.primary.ref_begin - r1.positions[i]) <= 20
+            assert abs(res2.primary.ref_begin - r2.positions[i]) <= 20
         if not res2.mapped:
             assert pe1.flag_extra & 0x8
     assert n_proper >= 20  # stats converge for same-distribution batches
