@@ -133,9 +133,14 @@ class Aligner:
             from bioseqdb_tpu.dist.mesh import replicated
 
             device = replicated(mesh)
-        pac_dev = jax.device_put(
-            jnp.asarray(np.asarray(index.pac), jnp.int8), device
-        ) if mode == "full" else None
+        if mode == "full":
+            from bioseqdb_tpu.kernels.extend import pack_doubled_rows
+
+            pac_dev = jax.device_put(
+                jnp.asarray(pack_doubled_rows(np.asarray(index.pac))), device
+            )
+        else:
+            pac_dev = None
         return cls(
             index=index,
             options=options or AlignOptions(),

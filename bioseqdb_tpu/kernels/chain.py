@@ -28,6 +28,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from bioseqdb_tpu.kernels import dense
 from bioseqdb_tpu.kernels import fm as kfm
 
 NEG = jnp.int32(-(1 << 30))
@@ -57,10 +58,10 @@ def resolve_seeds(
     # sort intervals by (start, end) — key fits easily in int32
     key = mems[:, :, 3] * 4096 + jnp.minimum(mems[:, :, 4], 4095)
     key = jnp.where(live, key, jnp.int32(0x3FFFFFFF))
-    order = jnp.argsort(key, axis=1)
-    sm = jnp.take_along_axis(mems, order[:, :, None], axis=1)
+    order = jnp.argsort(key, axis=1).astype(jnp.int32)
+    sm = dense.take_rows(mems, order)
 
-    live_s = jnp.take_along_axis(live, order, axis=1)
+    live_s = dense.take_rows(live, order)
     s_sz = sm[:, :, 2]
     step = jnp.where(s_sz > max_occ, s_sz // max_occ, 1)
     cnt = jnp.where(live_s, jnp.minimum(s_sz, max_occ), 0)
@@ -75,7 +76,7 @@ def resolve_seeds(
     midx = jnp.clip(midx, 0, M - 1)
     valid = ss < jnp.minimum(total, S)[:, None]
 
-    take = lambda col: jnp.take_along_axis(col, midx, axis=1)
+    take = lambda col: dense.lookup(col, midx)
     k0 = take(sm[:, :, 0])
     start = take(sm[:, :, 3])
     end = take(sm[:, :, 4])
@@ -148,9 +149,9 @@ def chain_seeds(
         val = jnp.where(active & (st["pos"] <= rbeg[:, None]), st["pos"], NEG)
         # ties/argmax: pick the largest pos; among equals the first slot
         ci = jnp.argmax(val, axis=1).astype(i32)
-        found = jnp.take_along_axis(val, ci[:, None], axis=1)[:, 0] > NEG
+        found = dense.pick_row(val, ci) > NEG
 
-        g = lambda a: st[a][rows, ci]
+        g = lambda a: dense.pick_row(st[a], ci)
         qend = g("l_qbeg") + g("l_len")
         rend = g("l_rbeg") + g("l_len")
         same_rid = srid == g("rid")
@@ -174,8 +175,7 @@ def chain_seeds(
 
         # grow: update last-seed fields of chain ci
         def upd(name, value, cond):
-            cur = st[name][rows, ci]
-            return st[name].at[rows, ci].set(jnp.where(cond, value, cur))
+            return dense.put_row(st[name], ci, value, cond)
 
         st = dict(st)
         st["l_qbeg"] = upd("l_qbeg", qbeg, merged_grow)
@@ -191,8 +191,7 @@ def chain_seeds(
         slot = jnp.minimum(st["n"], C - 1)
 
         def put(name, value):
-            cur = st[name][rows, slot]
-            return st[name].at[rows, slot].set(jnp.where(alloc, value, cur))
+            return dense.put_row(st[name], slot, value, alloc)
 
         st["pos"] = put("pos", rbeg)
         st["rid"] = put("rid", srid)
@@ -255,27 +254,21 @@ def filter_chains(
         ln = seeds["len"][:, s]
 
         def acc(wname, ename, b):
-            w = st[wname][rows, cis]
-            e = st[ename][rows, cis]
+            w = dense.pick_row(st[wname], cis)
+            e = dense.pick_row(st[ename], cis)
             add = jnp.where(b >= e, ln, jnp.maximum(b + ln - e, 0)).astype(w.dtype)
-            st[wname] = st[wname].at[rows, cis].set(
-                jnp.where(isin, w + add, w)
-            )
-            st[ename] = st[ename].at[rows, cis].set(
-                jnp.where(isin, jnp.maximum(e, b + ln).astype(e.dtype), e)
+            st[wname] = dense.put_row(st[wname], cis, w + add, isin)
+            st[ename] = dense.put_row(
+                st[ename], cis, jnp.maximum(e, b + ln).astype(e.dtype), isin
             )
 
         st = dict(st)
         acc("wq", "endq", qb)
         acc("wr", "endr", rb32)
-        b0 = st["beg"][rows, cis]
-        e0 = st["end"][rows, cis]
-        st["beg"] = st["beg"].at[rows, cis].set(
-            jnp.where(isin, jnp.minimum(b0, qb), b0)
-        )
-        st["end"] = st["end"].at[rows, cis].set(
-            jnp.where(isin, jnp.maximum(e0, qb + ln), e0)
-        )
+        b0 = dense.pick_row(st["beg"], cis)
+        e0 = dense.pick_row(st["end"], cis)
+        st["beg"] = dense.put_row(st["beg"], cis, jnp.minimum(b0, qb), isin)
+        st["end"] = dense.put_row(st["end"], cis, jnp.maximum(e0, qb + ln), isin)
         return st
 
     st = jax.lax.fori_loop(0, S, wbody, st)
@@ -301,17 +294,19 @@ def filter_chains(
 
     # the best chain is always kept (3)
     best = order[:, 0]
-    kept = kept.at[rows, best].set(jnp.where(alive[rows, best], 3, 0))
+    kept = dense.put_row(
+        kept, best, jnp.full_like(best, 3), dense.pick_row(alive, best)
+    )
 
     rank_of = jnp.argsort(order, axis=1).astype(i32)  # slot -> weight rank
 
     def fbody(r, state):
         kept, first = state
         ci = order[:, r]
-        ok = alive[rows, ci]
-        bi = beg[rows, ci]
-        ei = end[rows, ci]
-        wi = weight[rows, ci]
+        ok = dense.pick_row(alive, ci)
+        bi = dense.pick_row(beg, ci)
+        ei = dense.pick_row(end, ci)
+        wi = dense.pick_row(weight, ci)
         li = ei - bi
         # vector over candidate shadowing chains j (all slots; kept > 0)
         considered = kept > 0
@@ -342,8 +337,8 @@ def filter_chains(
         set_first = sig_eff & (first < 0)
         first = jnp.where(ok[:, None] & set_first, ci[:, None], first)
         newk = jnp.where(ok & ~dropped, jnp.where(large, 2, 3), 0)
-        kept = kept.at[rows, ci].set(
-            jnp.where(ok & (kept[rows, ci] == 0), newk, kept[rows, ci])
+        kept = dense.put_row(
+            kept, ci, newk, ok & (dense.pick_row(kept, ci) == 0)
         )
         return kept, first
 
@@ -354,8 +349,8 @@ def filter_chains(
         fi = first[:, c]
         do = (kept[:, c] > 0) & (fi >= 0)
         fis = jnp.clip(fi, 0, C - 1)
-        cur = kept[rows, fis]
-        return kept.at[rows, fis].set(jnp.where(do & (cur == 0), 1, cur))
+        cur = dense.pick_row(kept, fis)
+        return dense.put_row(kept, fis, jnp.ones_like(cur), do & (cur == 0))
 
     kept = jax.lax.fori_loop(0, C, pbody, kept)
     return dict(weight=weight, kept=kept, order=order, beg=beg, end=end)

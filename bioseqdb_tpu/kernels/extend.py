@@ -27,12 +27,62 @@ import functools
 import jax
 import jax.numpy as jnp
 
+import numpy as np
+
+from bioseqdb_tpu.kernels import dense
 from bioseqdb_tpu.kernels import fm as kfm
 from bioseqdb_tpu.kernels.loops import chunked_while
 from bioseqdb_tpu.kernels.sw import sw_extend_batch
 
 NEG = jnp.int32(-(1 << 30))
 MAX_BAND_TRY = 2
+
+ROW_BASES = 128               # bases per packed-pac row (8 int32 words)
+
+
+def pack_doubled_rows(pac: np.ndarray) -> np.ndarray:
+    """Pack the doubled text (forward + reverse-complement) 2-bit,
+    16 bases per int32 word (big-endian within the word, matching the
+    index packing), ROW_BASES bases per row.
+
+    SW target windows then fetch as a handful of 32-byte ROW gathers +
+    dense unpacking instead of per-element int8 gathers (XLA's TPU
+    gather costs per row, so element gathers are ~35x more expensive —
+    BENCH_NOTES.md)."""
+    pac = np.asarray(pac, np.uint32) & 3
+    doubled = np.concatenate([pac, 3 - pac[::-1]])
+    n = len(doubled)
+    nrows = (n + ROW_BASES - 1) // ROW_BASES + 1
+    padded = np.zeros(nrows * ROW_BASES, np.uint32)
+    padded[:n] = doubled
+    grp = padded.reshape(-1, 16)
+    shifts = (15 - np.arange(16, dtype=np.uint32)) * 2
+    words = (grp << shifts).sum(axis=1, dtype=np.uint32)
+    return words.view(np.int32).reshape(nrows, ROW_BASES // 16)
+
+
+def window_doubled(pw: jnp.ndarray, seq_len, starts: jnp.ndarray, T: int):
+    """Codes of the doubled text at [starts, starts+T) per lane;
+    out-of-range positions read 4. pw: packed rows (pack_doubled_rows).
+
+    Row gathers + dense unpack + a 7-step barrel shift — no element
+    gathers."""
+    B = starts.shape[0]
+    WPR = pw.shape[1]
+    NR = T // ROW_BASES + 2
+    r0 = jnp.floor_divide(starts, ROW_BASES)
+    ridx = r0[:, None] + jnp.arange(NR, dtype=r0.dtype)[None, :]
+    rows = pw[jnp.clip(ridx, 0, pw.shape[0] - 1)]      # (B, NR, WPR)
+    words = jax.lax.bitcast_convert_type(
+        rows.reshape(B, NR * WPR), jnp.uint32
+    )
+    shifts = ((15 - jnp.arange(16, dtype=jnp.uint32)) * 2)[None, None, :]
+    bases = ((words[:, :, None] >> shifts) & 3).astype(jnp.int32)
+    stream = bases.reshape(B, NR * ROW_BASES)
+    off = (starts - r0 * ROW_BASES).astype(jnp.int32)
+    win = dense.shift_left(stream, off, ROW_BASES)[:, :T]
+    pos = starts[:, None] + jnp.arange(T, dtype=starts.dtype)[None, :]
+    return jnp.where((pos >= 0) & (pos < seq_len), win, 4)
 
 
 def cal_max_gap(qlen, match_score, o_del, e_del, o_ins, e_ins, bandwidth):
@@ -104,15 +154,18 @@ def extend_all(
         # a reference window spans at most the read plus the band-bounded
         # gap allowance on both sides (cal_max_gap caps at 2*bandwidth)
         max_tlen = int(codes.shape[1]) + 4 * bandwidth + 64
+    # 2-D pac = packed doubled rows (pack_doubled_rows; row-gather fetch);
+    # 1-D pac = forward int8 codes (element fetch — the sharded path)
+    pac_packed = pac_dev.ndim == 2 and shard_axis is None
 
     # ---- the global seed processing order -------------------------------
     ci = chains["assign"]                     # (B, S); -1/-2 = not in a chain
     in_chain = ci >= 0
     cis = jnp.clip(ci, 0, C - 1)
-    crank = jnp.take_along_axis(
-        jnp.argsort(flt["order"], axis=1).astype(i32), cis, axis=1
+    crank = dense.lookup(
+        jnp.argsort(flt["order"], axis=1).astype(i32), cis
     )                                         # weight rank of the seed's chain
-    ckept = jnp.take_along_axis(flt["kept"], cis, axis=1) > 0
+    ckept = dense.lookup(flt["kept"], cis) > 0
     usable = in_chain & ckept & seeds["valid"]
     slen = seeds["len"]
     # order key: chain rank asc, then score desc with ties to later slot
@@ -138,13 +191,13 @@ def extend_all(
         rmax0, rmax1 = state
         isin = in_chain[:, s]
         c = cis[:, s]
-        cur0 = rmax0[rows, c]
-        cur1 = rmax1[rows, c]
-        rmax0 = rmax0.at[rows, c].set(
-            jnp.where(isin, jnp.minimum(cur0, b_all[:, s].astype(rdt)), cur0)
+        cur0 = dense.pick_row(rmax0, c)
+        cur1 = dense.pick_row(rmax1, c)
+        rmax0 = dense.put_row(
+            rmax0, c, jnp.minimum(cur0, b_all[:, s].astype(rdt)), isin
         )
-        rmax1 = rmax1.at[rows, c].set(
-            jnp.where(isin, jnp.maximum(cur1, e_all[:, s].astype(rdt)), cur1)
+        rmax1 = dense.put_row(
+            rmax1, c, jnp.maximum(cur1, e_all[:, s].astype(rdt)), isin
         )
         return rmax0, rmax1
 
@@ -159,8 +212,8 @@ def extend_all(
     # clip to the reference containing the first seed (bns_fetch_seq):
     # extensions must not cross concatenated reference boundaries
     crid = jnp.clip(chains["rid"], 0, fm.ref_offsets.shape[0] - 1)
-    roff = fm.ref_offsets[crid]
-    rlen_ref = fm.ref_lens[crid]
+    roff = kfm._small_rows(fm.ref_offsets, crid)
+    rlen_ref = kfm._small_rows(fm.ref_lens, crid)
     mid_rev = cfirst >= fm.l_pac
     far_beg = jnp.where(mid_rev, fm.seq_len - (roff + rlen_ref), roff)
     far_end = jnp.where(mid_rev, fm.seq_len - roff, roff + rlen_ref)
@@ -191,13 +244,11 @@ def extend_all(
 
         def scan_body(state):
             cursor, decided = state
-            slot = jnp.take_along_axis(
-                order, jnp.clip(cursor, 0, S - 1)[:, None], axis=1
-            )[:, 0]
+            slot = dense.pick_row(order, jnp.clip(cursor, 0, S - 1))
             active = (cursor < n_usable) & ~decided
-            sq = seeds["qbeg"][rows, slot]
-            sr = seeds["rbeg"][rows, slot]
-            sl = slen[rows, slot]
+            sq = dense.pick_row(seeds["qbeg"], slot)
+            sr = dense.pick_row(seeds["rbeg"], slot)
+            sl = dense.pick_row(slen, slot)
             # covered-by-region test (vector over R)
             rr = jnp.arange(R, dtype=i32)[None, :]
             has = rr < n_regs[:, None]
@@ -222,7 +273,7 @@ def extend_all(
             covered = jnp.any(inside & (near1 | near2), axis=1)
             # overlap rescue: an already-extended same-chain seed of
             # similar length on a different diagonal
-            samechain = cis == cis[rows, slot][:, None]
+            samechain = cis == dense.pick_row(cis, slot)[:, None]
             cand = was_ext & samechain & seeds["valid"]
             t_q = seeds["qbeg"]
             t_r = seeds["rbeg"]
@@ -251,9 +302,7 @@ def extend_all(
         cursor, _ = chunked_while(
             scan_cond, scan_body, (cursor, jnp.zeros(B, jnp.bool_)), chunk=8
         )
-        slot = jnp.take_along_axis(
-            order, jnp.clip(cursor, 0, S - 1)[:, None], axis=1
-        )[:, 0]
+        slot = dense.pick_row(order, jnp.clip(cursor, 0, S - 1))
         todo = cursor < n_usable
         return cursor, slot, todo
 
@@ -286,26 +335,29 @@ def extend_all(
         overflow = overflow | ovf_now
         act = todo & ~ovf_now
 
-        sq = seeds["qbeg"][rows, slot]
-        sr = seeds["rbeg"][rows, slot]
-        sl = slen[rows, slot]
-        c = cis[rows, slot]
-        r0 = rmax0[rows, c]
-        r1_ = rmax1[rows, c]
+        sq = dense.pick_row(seeds["qbeg"], slot)
+        sr = dense.pick_row(seeds["rbeg"], slot)
+        sl = dense.pick_row(slen, slot)
+        c = dense.pick_row(cis, slot)
+        r0 = dense.pick_row(rmax0, c)
+        r1_ = dense.pick_row(rmax1, c)
 
         # ---- left extension ----
         lq = sq                            # length of reversed query prefix
         lt = (sr - r0).astype(i32)         # length of reversed target prefix
-        qpos = sq[:, None] - 1 - wcols
-        qbuf_l = jnp.where(
-            (wcols < lq[:, None]) & (qpos >= 0),
-            jnp.take_along_axis(codes, jnp.clip(qpos, 0, W - 1), axis=1), 4
-        )
-        tpos = sr[:, None] - 1 - tcols
-        tbuf_l = jnp.where(
-            tcols < lt[:, None],
-            fetch_doubled(pac_dev, fm.l_pac, fm.seq_len, tpos, shard_axis), 4
-        )
+        # reversed query prefix via flip + barrel shift (no gathers):
+        # qbuf_l[j] = codes[sq-1-j] = flip(codes)[W-sq+j]
+        qbuf_l = dense.shift_left(
+            codes[:, ::-1], (W - sq).astype(i32), W, fill=4
+        )[:, :max_qlen]
+        qbuf_l = jnp.where(wcols < lq[:, None], qbuf_l, 4)
+        if pac_packed:
+            winl = window_doubled(pac_dev, fm.seq_len, sr - max_tlen, max_tlen)
+            traw_l = winl[:, ::-1]
+        else:
+            tpos = sr[:, None] - 1 - tcols
+            traw_l = fetch_doubled(pac_dev, fm.l_pac, fm.seq_len, tpos, shard_axis)
+        tbuf_l = jnp.where(tcols < lt[:, None], traw_l, 4)
         has_l = act & (lq > 0)
         resL, awL = sw_with_retry(
             qbuf_l, lq, tbuf_l, jnp.where(has_l, lt, 0),
@@ -330,16 +382,14 @@ def extend_all(
         rq = lens - qe0
         re0 = sr + sl
         rt = (r1_ - re0).astype(i32)
-        qpos_r = qe0[:, None] + wcols
-        qbuf_r = jnp.where(
-            wcols < rq[:, None],
-            jnp.take_along_axis(codes, jnp.clip(qpos_r, 0, W - 1), axis=1), 4
-        )
-        tpos_r = re0[:, None] + tcols
-        tbuf_r = jnp.where(
-            tcols < rt[:, None],
-            fetch_doubled(pac_dev, fm.l_pac, fm.seq_len, tpos_r, shard_axis), 4
-        )
+        qbuf_r = dense.shift_left(codes, qe0, W, fill=4)[:, :max_qlen]
+        qbuf_r = jnp.where(wcols < rq[:, None], qbuf_r, 4)
+        if pac_packed:
+            traw_r = window_doubled(pac_dev, fm.seq_len, re0, max_tlen)
+        else:
+            tpos_r = re0[:, None] + tcols
+            traw_r = fetch_doubled(pac_dev, fm.l_pac, fm.seq_len, tpos_r, shard_axis)
+        tbuf_r = jnp.where(tcols < rt[:, None], traw_r, 4)
         has_r = act & (rq > 0)
         resR, awR = sw_with_retry(
             qbuf_r, rq, tbuf_r, jnp.where(has_r, rt, 0),
@@ -363,8 +413,7 @@ def extend_all(
         slot_r = jnp.minimum(n_regs, R - 1)
 
         def put(name, value):
-            cur = regs[name][rows, slot_r]
-            return regs[name].at[rows, slot_r].set(jnp.where(act, value, cur))
+            return dense.put_row(regs[name], slot_r, value, act)
 
         regs = dict(regs)
         regs["rb"] = put("rb", rb.astype(rdt))
@@ -376,10 +425,10 @@ def extend_all(
         regs["w"] = put("w", aw)
         regs["seedlen0"] = put("seedlen0", sl)
         regs["cchain"] = put("cchain", c)
-        regs["rid"] = put("rid", chains["rid"][rows, c])
+        regs["rid"] = put("rid", dense.pick_row(chains["rid"], c))
         n_regs = n_regs + act.astype(i32)
-        was_ext = was_ext.at[rows, slot].set(
-            jnp.where(act, True, was_ext[rows, slot])
+        was_ext = dense.put_row(
+            was_ext, slot, jnp.ones(B, jnp.bool_), act
         )
         cursor = jnp.where(act, cursor + 1, cursor)
         return regs, n_regs, cursor, was_ext, overflow

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from bioseqdb_tpu.index.fmindex import MAJOR_BLOCKS, OCC_BLOCK, FMIndex
+from bioseqdb_tpu.kernels.dense import pick as _pick
 
 # mask of the first v bases of a packed big-endian word, v in [0, 16]
 _MASK_TABLE = np.zeros(17, dtype=np.uint32)
@@ -87,6 +88,27 @@ class FMDevice(NamedTuple):
         return self.sa_sample.dtype
 
 
+def _small_rows(table: jnp.ndarray, idx: jnp.ndarray, limit: int = 128):
+    """Row lookup that goes dense (one-hot select) when the table is
+    small: XLA's TPU gather costs per ROW (~19 ns each) regardless of
+    table size, so for the handful-of-rows major-checkpoint tables a
+    masked reduction is far cheaper inside loop bodies."""
+    n = table.shape[0]
+    if n > limit:
+        return table[idx]
+    tab = table.reshape((1,) * idx.ndim + table.shape)
+    oh = jnp.arange(n, dtype=jnp.int32).reshape(
+        (1,) * idx.ndim + (n,) + (1,) * (table.ndim - 1)
+    ) == idx.reshape(idx.shape + (1,) * table.ndim)
+    return jnp.where(oh, tab, 0).sum(axis=idx.ndim, dtype=table.dtype)
+
+
+def _lut(table: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+    """Dense lookup into a tiny 1-D table (e.g. L2[c]) — avoids a
+    per-row gather for (B,)-shaped code indexing."""
+    return _pick(jnp.broadcast_to(table, c.shape + table.shape), c, axis=-1)
+
+
 def _row_counts(row: jnp.ndarray, c: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
     """Count code ``c`` within the first ``r`` bases of a gathered block row.
 
@@ -129,7 +151,7 @@ def _occ_major(fm: FMDevice, blk, c):
     """Major-checkpoint contribution for global block indices (the minor
     counts in `blocks` are relative to these every MAJOR_BLOCKS rows)."""
     m = jnp.clip(blk >> _LOG2_MAJOR, 0, fm.occ_majors.shape[0] - 1)
-    return jnp.take_along_axis(fm.occ_majors[m], c[..., None], axis=-1)[..., 0]
+    return _pick(_small_rows(fm.occ_majors, m), c, axis=-1)
 
 
 def occ_stored(fm: FMDevice, c, j, axis: str | None = None) -> jnp.ndarray:
@@ -137,7 +159,7 @@ def occ_stored(fm: FMDevice, c, j, axis: str | None = None) -> jnp.ndarray:
     blk = j >> _LOG2_OCC_BLOCK
     r = j & (OCC_BLOCK - 1)
     row, mine = _table_row(fm.blocks, blk, axis)
-    ckpt = jnp.take_along_axis(row[..., :4], c[..., None], axis=-1)[..., 0]
+    ckpt = _pick(row[..., :4], c, axis=-1)
     return _owner_sum(ckpt + _row_counts(row, c, r), mine, axis) + _occ_major(fm, blk, c)
 
 
@@ -155,7 +177,7 @@ def occ4_stored(fm: FMDevice, j, axis: str | None = None) -> jnp.ndarray:
     cnt = _row_counts(row[..., None, :], jnp.broadcast_to(cs, j.shape + (4,)),
                       r[..., None])
     m = jnp.clip(blk >> _LOG2_MAJOR, 0, fm.occ_majors.shape[0] - 1)
-    return _owner_sum(row[..., :4] + cnt, mine, axis) + fm.occ_majors[m]
+    return _owner_sum(row[..., :4] + cnt, mine, axis) + _small_rows(fm.occ_majors, m)
 
 
 def occ4B(fm: FMDevice, r, axis: str | None = None) -> jnp.ndarray:
@@ -167,7 +189,7 @@ def backward_ext(fm: FMDevice, lo, hi, c, axis: str | None = None):
 
     The two rank queries issue as ONE fused gather (half the fixed
     per-step gather-kernel cost of separate calls)."""
-    C = fm.L2[c] + 1
+    C = _lut(fm.L2, c) + 1
     both = occB(fm, jnp.concatenate([c, c]), jnp.concatenate([lo, hi]), axis)
     n = lo.shape[0]
     return C + both[:n], C + both[n:]
@@ -187,7 +209,7 @@ def backward_search(fm: FMDevice, codes: jnp.ndarray, lens: jnp.ndarray):
         lo, hi = state
         # process column lens-1-t (right to left); masked when t >= lens
         idx = jnp.clip(lens - 1 - t, 0, W - 1)
-        c = jnp.take_along_axis(codes, idx[:, None], axis=1)[:, 0]
+        c = _pick(codes, idx, axis=1)
         active = (t < lens) & (lo < hi) & (c < 4)
         c_safe = jnp.clip(c, 0, 3)
         nlo, nhi = backward_ext(fm, lo, hi, c_safe)
@@ -234,7 +256,7 @@ def _sa_marked(fm: FMDevice, r: jnp.ndarray, axis: str | None = None) -> jnp.nda
     """Whether ranks carry a sampled SA value (batched bit lookup)."""
     row, mine = _table_row(fm.sa_bits, r >> 7, axis)
     words = jax.lax.bitcast_convert_type(row[..., 1:], jnp.uint32)
-    word = jnp.take_along_axis(words, ((r >> 5) & 3)[..., None], axis=-1)[..., 0]
+    word = _pick(words, ((r >> 5) & 3), axis=-1)
     bit = ((word >> (r & 31).astype(jnp.uint32)) & 1).astype(jnp.int32)
     return _owner_sum(bit, mine, axis).astype(jnp.bool_)
 
@@ -255,7 +277,9 @@ def _sa_slot(fm: FMDevice, r: jnp.ndarray, axis: str | None = None) -> jnp.ndarr
     mask = jnp.where(nbits >= 32, jnp.uint32(0xFFFFFFFF),
                      (jnp.uint32(1) << jnp.minimum(nbits, 31)) - jnp.uint32(1))
     part = jax.lax.population_count(words & mask).sum(axis=-1).astype(jnp.int32)
-    major = fm.sa_majors[jnp.clip((r >> 7) >> _LOG2_MAJOR, 0, fm.sa_majors.shape[0] - 1)]
+    major = _small_rows(
+        fm.sa_majors, jnp.clip((r >> 7) >> _LOG2_MAJOR, 0, fm.sa_majors.shape[0] - 1)
+    )
     return _owner_sum(row[..., 0] + part, mine, axis) + major
 
 
@@ -280,10 +304,10 @@ def sa_resolve(fm: FMDevice, ranks: jnp.ndarray, sa_interval: int = 32,
         off = j & (OCC_BLOCK - 1)
         row, mine = _table_row(fm.blocks, blk, axis)
         words = jax.lax.bitcast_convert_type(row[..., 4:], jnp.uint32)
-        word = jnp.take_along_axis(words, (off >> 4)[..., None], axis=-1)[..., 0]
+        word = _pick(words, (off >> 4), axis=-1)
         c = ((word >> (2 * (15 - (off & 15))).astype(jnp.uint32)) & 3).astype(jnp.int32)
-        ckpt = jnp.take_along_axis(row[..., :4], c[..., None], axis=-1)[..., 0]
-        lf = _owner_sum(fm.L2[c] + ckpt + _row_counts(row, c, off) + 1, mine, axis)
+        ckpt = _pick(row[..., :4], c, axis=-1)
+        lf = _owner_sum(_lut(fm.L2, c) + ckpt + _row_counts(row, c, off) + 1, mine, axis)
         lf = lf + _occ_major(fm, blk, c)
         nxt = jnp.where(r == fm.primary, 0, lf)
         r = jnp.where(done, r, nxt)

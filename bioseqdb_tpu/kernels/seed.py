@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from bioseqdb_tpu.kernels import fm as kfm
+from bioseqdb_tpu.kernels import dense
 from bioseqdb_tpu.kernels.loops import chunked_while
 
 # phases
@@ -105,25 +106,25 @@ def collect_seeds_device(
     st["phase"] = jnp.where(lens > 0, PH_PIVOT, PH_DONE)
 
     def qat(pos):
-        safe = jnp.clip(pos, 0, W - 1)
-        return jnp.take_along_axis(codes, safe[:, None], axis=1)[:, 0]
+        # dense column pick: a (B,)-row take_along_axis costs ~19 ns/row
+        # on TPU (a full gather op); the masked reduction is ~free
+        return dense.pick(codes, jnp.clip(pos, 0, W - 1), axis=1)
 
     def set_intv(c):
         c = jnp.clip(c, 0, 3)
-        k = fm.L2[c] + 1
-        l = fm.L2[3 - c] + 1
-        s = fm.L2[c + 1] - fm.L2[c]
+        k = kfm._lut(fm.L2, c) + 1
+        l = kfm._lut(fm.L2, 3 - c) + 1
+        s = kfm._lut(fm.L2, c + 1) - kfm._lut(fm.L2, c)
         return jnp.stack([k, l, s], axis=-1).astype(rdt)
 
     def push_row(buf, n, row, do):
-        """Append `row` to per-lane buffer where `do`; returns new buf, n, ovf."""
+        """Append `row` to per-lane buffer where `do`; returns new buf, n, ovf.
+
+        One-hot write — no scatter (XLA TPU scatter is per-row-cost)."""
         cap = buf.shape[1]
         ovf = do & (n >= cap)
         write = do & ~ovf
-        slot = jnp.minimum(n, cap - 1)
-        cur = buf[jnp.arange(B), slot]
-        val = jnp.where(write[:, None], row, cur)
-        buf = buf.at[jnp.arange(B), slot].set(val)
+        buf = dense.put_row(buf, jnp.minimum(n, cap - 1), row, write)
         n = n + write.astype(i32)
         return buf, n, ovf
 
@@ -151,7 +152,7 @@ def collect_seeds_device(
         # forward lanes extend st.ik (or r3 ik) forward by q[i];
         # backward lanes extend prev[j] backward by q[i] (prev is stored
         # longest-first: reversed once at the fwd->bwd transition)
-        bwd_iv = st["prev"][jnp.arange(B), jnp.clip(j, 0, P - 1)]  # (B, 4)
+        bwd_iv = dense.pick_row(st["prev"], jnp.clip(j, 0, P - 1))  # (B, 4)
         src_k = jnp.where(in_bwd, bwd_iv[:, 0], st["ik"][:, 0])
         src_l = jnp.where(in_bwd, bwd_iv[:, 1], st["ik"][:, 1])
         src_s = jnp.where(in_bwd, bwd_iv[:, 2], st["ik"][:, 2])
@@ -162,10 +163,10 @@ def collect_seeds_device(
                                          axis=shard_axis)
         c_raw = qi
         c_ext = jnp.where(in_bwd, c_raw, 3 - c_raw)
-        c_sel = jnp.clip(c_ext, 0, 3)[:, None]
-        ok_k = jnp.take_along_axis(jnp.where(in_bwd[:, None], k4, l4), c_sel, 1)[:, 0]
-        ok_l = jnp.take_along_axis(jnp.where(in_bwd[:, None], l4, k4), c_sel, 1)[:, 0]
-        ok_s = jnp.take_along_axis(s4, c_sel, 1)[:, 0]
+        c_sel = jnp.clip(c_ext, 0, 3)
+        ok_k = dense.pick(jnp.where(in_bwd[:, None], k4, l4), c_sel, axis=1)
+        ok_l = dense.pick(jnp.where(in_bwd[:, None], l4, k4), c_sel, axis=1)
+        ok_s = dense.pick(s4, c_sel, axis=1)
 
         new = dict(st)
 
@@ -181,7 +182,7 @@ def collect_seeds_device(
         new["r2i"] = jnp.where(to_r2, 0, st["r2i"])
 
         at_r2 = at_pivot & (new["round"] == RD_RESEED)
-        r2_src = st["mems"][jnp.arange(B), jnp.clip(st["r2i"], 0, M - 1)]
+        r2_src = dense.pick_row(st["mems"], jnp.clip(st["r2i"], 0, M - 1))
         r2_len = (r2_src[:, 4] - r2_src[:, 3]).astype(i32)
         r2_eligible = (r2_len >= split_len) & (r2_src[:, 2] <= split_width)
         r2_exhausted = at_r2 & (st["r2i"] >= new["n_mem_r1"])
@@ -252,17 +253,17 @@ def collect_seeds_device(
         new["i"] = jnp.where(adv, i + 1, new["i"])
         fwd_done = fwd_end_of_read | fwd_amb | drop_below
         # transition to backward pass: prev := reverse(cand) so the
-        # backward loop visits longer candidates first (bwt_reverse_intvs)
-        pidx = jnp.clip(
-            new["n_cand"][:, None] - 1 - jnp.arange(P, dtype=i32)[None, :], 0, P - 1
-        )
-        rev_cand = jnp.take_along_axis(new["cand"], pidx[:, :, None], axis=1)
+        # backward loop visits longer candidates first (bwt_reverse_intvs).
+        # Dense one-hot reversal: the take_along_axis form gathers B*P
+        # rows EVERY iteration (~0.9 ms at B=2048 — the old hot spot).
+        rev_cand = dense.reverse_prefix(new["cand"], new["n_cand"])
         new["prev"] = jnp.where(fwd_done[:, None, None], rev_cand, st["prev"])
         new["n_prev"] = jnp.where(fwd_done, new["n_cand"], st["n_prev"])
         # ret (next round-1 pivot) = end of the longest candidate = last pushed
         lastc = jnp.clip(new["n_cand"] - 1, 0, P - 1)
         new["ret"] = jnp.where(
-            fwd_done, new["cand"][jnp.arange(B), lastc, 3].astype(i32), st["ret"]
+            fwd_done, dense.pick_row(new["cand"][:, :, 3], lastc).astype(i32),
+            st["ret"],
         )
         new["i"] = jnp.where(fwd_done, x - 1, new["i"])
         new["j"] = jnp.where(fwd_done, 0, st["j"])
@@ -272,7 +273,7 @@ def collect_seeds_device(
 
         # ============== PH_BWD ==============
         bw_i = i  # current backward position (may be -1)
-        c_ok = in_bwd & (bw_i >= 0) & (qat(bw_i) < 4)
+        c_ok = in_bwd & (bw_i >= 0) & (qi < 4)  # qi == qat(bw_i) here
         p_iv = bwd_iv  # prev entry being processed (k, l, s, end)
         fail = in_bwd & (~c_ok | (c_ok & (ok_s < st["min_intv"])))
         emit = fail & (st["n_curr"] == 0) & (bw_i + 1 < st["last_start"])
@@ -291,7 +292,7 @@ def collect_seeds_device(
         # grow curr when extension survives and size differs from last pushed
         keep = in_bwd & c_ok & (ok_s >= st["min_intv"])
         lastq = jnp.clip(st["n_curr"] - 1, 0, P - 1)
-        last_s = st["curr"][jnp.arange(B), lastq, 2]
+        last_s = dense.pick_row(st["curr"][:, :, 2], lastq)
         distinct = (st["n_curr"] == 0) | (ok_s != last_s)
         push_bwd = keep & distinct
         curr_row = jnp.stack([ok_k, ok_l, ok_s, p_iv[:, 3].astype(rdt)], axis=1)
@@ -341,4 +342,5 @@ def collect_seeds_device(
         return new
 
     st = chunked_while(cond, body, st)
-    return dict(mems=st["mems"], n_mem=st["n_mem"], overflow=st["overflow"])
+    return dict(mems=st["mems"], n_mem=st["n_mem"], overflow=st["overflow"],
+                iters=st["iters"])

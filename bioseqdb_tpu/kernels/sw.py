@@ -27,6 +27,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from bioseqdb_tpu.kernels import dense
 from bioseqdb_tpu.kernels.loops import chunked_while
 
 NEG_INF = jnp.int32(-(1 << 30))
@@ -83,7 +84,16 @@ def sw_extend_batch(
     h_init = jnp.where(jj < qlen[:, None] + 1, h_init, 0)
     e_init = jnp.zeros((B, max_qlen), jnp.int32)
 
-    # query profile per lane is gathered per row instead (target-dependent)
+    # query profile (bwa's ksw trick): prof[b, c, j] = mat[c, query[b, j]],
+    # built once with dense selects; each row then picks its target-base
+    # slice with a 5-way one-hot instead of a per-element mat gather
+    rows_sc = []
+    for tc in range(5):
+        row_sc = jnp.zeros((B, max_qlen), jnp.int32)
+        for qc in range(5):
+            row_sc = jnp.where(query == qc, mat[tc, qc], row_sc)
+        rows_sc.append(row_sc)
+    prof = jnp.stack(rows_sc, axis=1)  # (B, 5, Q)
 
     state = dict(
         h=h_init,                      # H(i-1, j-1) convention: h[j] holds row i-1 value at column j
@@ -109,12 +119,10 @@ def sw_extend_batch(
         beg = jnp.maximum(st["beg"], i - w)
         end = jnp.minimum(jnp.minimum(st["end"], i + w + 1), qlen)
 
-        # row target base per lane
-        tbase = jnp.take_along_axis(
-            target, jnp.minimum(i, max_tlen - 1)[:, None], axis=1
-        )[:, 0]
-        # scores S(i, j) = mat[tbase, query[:, j]]
-        srow = mat[tbase[:, None], query]  # (B, Q)
+        # row target base per lane (dense pick — no per-row gather)
+        tbase = dense.pick(target, jnp.minimum(i, max_tlen - 1), axis=1)
+        # scores S(i, j) = mat[tbase, query[:, j]] via the query profile
+        srow = dense.pick_row(prof, jnp.clip(tbase, 0, 4), axis=1)  # (B, Q)
 
         in_band = (jj >= beg[:, None]) & (jj < end[:, None])
 
@@ -168,7 +176,7 @@ def sw_extend_batch(
         # h1 at the final column (end) = H(i, end-1): needed for gscore
         h_endm1 = jnp.where(
             end > beg,
-            jnp.take_along_axis(hrow, jnp.maximum(end - 1, 0)[:, None], axis=1)[:, 0],
+            dense.pick(hrow, jnp.maximum(end - 1, 0), axis=1),
             h1_bound,
         )
 

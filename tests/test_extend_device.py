@@ -55,7 +55,8 @@ def run_device(fm, idx, reads_codes, opt, W=160):
                         min_seed_len=opt.min_seed_len,
                         max_chain_gap=opt.max_chain_gap)
     mat = jnp.asarray(fill_scmat(opt.match_score, opt.mismatch_penalty).astype(np.int32))
-    pac_dev = jnp.asarray(np.asarray(idx.pac), jnp.int8)
+    from bioseqdb_tpu.kernels.extend import pack_doubled_rows
+    pac_dev = jnp.asarray(pack_doubled_rows(np.asarray(idx.pac)))
     out = extend_all(
         fm, pac_dev, codes, lens_j, seeds, chains, flt, mat,
         match_score=opt.match_score, mismatch_penalty=opt.mismatch_penalty,
