@@ -101,14 +101,18 @@ def collect_seeds_device(
         last_start=jnp.full(B, W + 1, i32),       # containment check state
         iters=jnp.zeros(B, i32),
         overflow=jnp.zeros(B, jnp.bool_),
+        # per-lane inputs live in the state so straggler compaction can
+        # gather a lane's whole context in one tree_map
+        codes=codes,
+        lens=lens,
     )
     # lanes with no bases never run
     st["phase"] = jnp.where(lens > 0, PH_PIVOT, PH_DONE)
 
-    def qat(pos):
+    def qat_in(codes_, pos):
         # dense column pick: a (B,)-row take_along_axis costs ~19 ns/row
         # on TPU (a full gather op); the masked reduction is ~free
-        return dense.pick(codes, jnp.clip(pos, 0, W - 1), axis=1)
+        return dense.pick(codes_, jnp.clip(pos, 0, W - 1), axis=1)
 
     def set_intv(c):
         c = jnp.clip(c, 0, 3)
@@ -141,6 +145,8 @@ def collect_seeds_device(
 
         phase = st["phase"]
         rnd = st["round"]
+        lens = st["lens"]
+        qat = lambda pos: qat_in(st["codes"], pos)
         x, i, j = st["x"], st["i"], st["j"]
         qx = qat(x)
         qi = qat(i)
@@ -341,6 +347,42 @@ def collect_seeds_device(
 
         return new
 
-    st = chunked_while(cond, body, st)
+    def run_compacting(st, sizes):
+        """Run the state machine with progressive straggler compaction:
+        run the full width until at most ``sizes[0]`` lanes are still
+        live, gather those lanes into a ``sizes[0]``-wide state (4x
+        cheaper per iteration), recurse, and scatter the results back.
+        The per-lane iteration count is long-tailed (p50 ~630 vs max
+        ~1260 for 150 bp reads), so the whole batch otherwise pays the
+        slowest lane's trip count at full width."""
+        if not sizes:
+            return chunked_while(cond, body, st)
+        B2 = sizes[0]
+        Bc = st["phase"].shape[0]
+        st = jax.lax.while_loop(
+            lambda s: jnp.sum(s["phase"] != PH_DONE) > B2,
+            lambda s: jax.lax.fori_loop(0, 32, lambda _, x: body(x), s),
+            st,
+        )
+        unfin = st["phase"] != PH_DONE
+        slot = jnp.where(
+            unfin, jnp.minimum(jnp.cumsum(unfin.astype(i32)) - 1, B2 - 1), B2
+        )
+        lane_of = jnp.full(B2 + 1, -1, i32).at[slot].set(
+            jnp.arange(Bc, dtype=i32), mode="drop"
+        )[:B2]
+        safe = jnp.clip(lane_of, 0, Bc - 1)
+        sub = {k: v[safe] for k, v in st.items()}
+        sub["phase"] = jnp.where(lane_of < 0, PH_DONE, sub["phase"])
+        sub = run_compacting(sub, sizes[1:])
+        tgt = jnp.where(lane_of >= 0, lane_of, Bc)
+        return {k: v.at[tgt].set(sub[k], mode="drop") for k, v in st.items()}
+
+    sizes = []
+    b = B
+    while b >= 1024:
+        b //= 4
+        sizes.append(b)
+    st = run_compacting(st, sizes)
     return dict(mems=st["mems"], n_mem=st["n_mem"], overflow=st["overflow"],
                 iters=st["iters"])

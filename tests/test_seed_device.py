@@ -125,3 +125,35 @@ def test_min_seed_1_matches_round1(setup):
     rng = np.random.default_rng(6)
     reads = [rng.integers(0, 4, 20).astype(np.uint8) for _ in range(8)]
     compare(idx, fm, reads, opt)
+
+
+def test_compaction_path_matches_uncompacted():
+    """B >= 1024 engages straggler compaction; results must be
+    identical to the plain path (smaller sub-batches)."""
+    import numpy as np
+
+    from bioseqdb_tpu.index.builder import build_index
+    from bioseqdb_tpu.io.batch import pack_reads
+    from bioseqdb_tpu.kernels import fm as kfm
+    from bioseqdb_tpu.kernels.seed import collect_seeds_device
+    from bioseqdb_tpu.utils.sim import simulate_genome, simulate_reads
+
+    genome = simulate_genome(40_000, seed=11)
+    idx = build_index([("g", genome)])
+    fm = kfm.FMDevice.from_host(idx)
+    sim = simulate_reads(genome, 1024, read_len=36, sub_rate=0.03, seed=12)
+    rb = pack_reads(sim.reads, sim.names)
+    import jax.numpy as jnp
+
+    codes = jnp.asarray(rb.codes, jnp.int32)
+    lens = jnp.asarray(rb.lens, jnp.int32)
+    kw = dict(min_seed_len=15, split_len=21, split_width=10, max_mem_intv=200)
+    big = collect_seeds_device(fm, codes, lens, **kw)
+    for s in range(0, 1024, 256):
+        small = collect_seeds_device(fm, codes[s:s + 256], lens[s:s + 256], **kw)
+        np.testing.assert_array_equal(np.asarray(big["n_mem"])[s:s + 256],
+                                      np.asarray(small["n_mem"]))
+        np.testing.assert_array_equal(np.asarray(big["mems"])[s:s + 256],
+                                      np.asarray(small["mems"]))
+        np.testing.assert_array_equal(np.asarray(big["overflow"])[s:s + 256],
+                                      np.asarray(small["overflow"]))
