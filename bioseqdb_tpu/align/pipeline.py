@@ -68,6 +68,7 @@ def full_align_step(
     bandwidth: int, zdrop: int, pen_clip5: int, pen_clip3: int,
     min_chain_weight: int, max_chain_gap: int,
     mask_level: float, chain_drop_ratio: float,
+    sa_interval: int = 32,
 ):
     """Jitted full BWA-MEM device pipeline for one batch: SMEM seeding ->
     seed resolution -> chaining -> chain filter -> banded-SW extension.
@@ -81,7 +82,8 @@ def full_align_step(
         split_width=split_width, max_mem_intv=max_mem_intv,
     )
     seeds = resolve_seeds(fm, mems["mems"], mems["n_mem"],
-                          max_occ=max_occ, max_seeds=max_seeds)
+                          max_occ=max_occ, max_seeds=max_seeds,
+                          sa_interval=sa_interval)
     chains = chain_seeds(fm, seeds, max_chains=max_chains,
                          bandwidth=bandwidth, max_chain_gap=max_chain_gap)
     flt = filter_chains(chains, seeds, mask_level=mask_level,
@@ -202,6 +204,7 @@ class Aligner:
             min_chain_weight=opt.min_chain_weight,
             max_chain_gap=opt.max_chain_gap,
             mask_level=opt.mask_level, chain_drop_ratio=opt.chain_drop_ratio,
+            sa_interval=self.index.sa_interval,
         )
 
     def _align_full(self, batch: ReadBatch, with_query_ids: bool) -> list[ReadResult]:

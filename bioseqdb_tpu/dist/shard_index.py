@@ -170,7 +170,7 @@ def sa_resolve_sharded(fms: FMSharded, ranks, mesh: Mesh, axis: str = "index",
 def full_align_step_sharded(
     fms: FMSharded, codes, lens, mat, mesh: Mesh, opt, n_refs: int,
     axis: str = "index", data_axis: str | None = None,
-    max_seeds: int = 64, max_chains: int = 16,
+    max_seeds: int = 64, max_chains: int = 16, sa_interval: int = 32,
 ):
     """The full device pipeline over a (data x index) mesh: reads shard
     along ``data`` (if the mesh has that axis), tables along ``index``.
@@ -191,7 +191,7 @@ def full_align_step_sharded(
         )
         seeds = resolve_seeds(fm, mems["mems"], mems["n_mem"],
                               max_occ=max_occ, max_seeds=max_seeds,
-                              shard_axis=axis)
+                              shard_axis=axis, sa_interval=sa_interval)
         chains = chain_seeds(fm, seeds, max_chains=max_chains,
                              bandwidth=opt.bandwidth,
                              max_chain_gap=opt.max_chain_gap)

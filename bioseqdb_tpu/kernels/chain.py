@@ -34,7 +34,9 @@ from bioseqdb_tpu.kernels import fm as kfm
 NEG = jnp.int32(-(1 << 30))
 
 
-@functools.partial(jax.jit, static_argnames=("max_occ", "max_seeds", "shard_axis"))
+@functools.partial(
+    jax.jit, static_argnames=("max_occ", "max_seeds", "shard_axis", "sa_interval")
+)
 def resolve_seeds(
     fm: kfm.FMDevice,
     mems: jnp.ndarray,    # int32[B, M, 5] (k, l, s, start, end)
@@ -42,6 +44,7 @@ def resolve_seeds(
     max_occ: int,
     max_seeds: int,
     shard_axis: str | None = None,
+    sa_interval: int = 32,
 ):
     """Expand seed intervals into located seeds.
 
@@ -84,7 +87,35 @@ def resolve_seeds(
     ofs = take(off)
     t = ss - ofs
     ranks = jnp.where(valid, k0 + t * stp, 1)
-    pos = kfm.sa_resolve(fm, ranks, axis=shard_axis)  # doubled-text rbeg
+
+    # Most of the (B, S) rank table is padding (reads rarely fill all S
+    # slots), and every sa_resolve step gathers two table rows per LANE.
+    # Compact the valid lanes into a 4x narrower buffer first; lanes
+    # beyond the compact capacity (implausible in practice: it means
+    # > S/4 located seeds per read on batch average) overflow to host.
+    K = (B * S) // 4
+    if B * S > 4096:
+        i32 = jnp.int32
+        fvalid = valid.reshape(-1)
+        franks = ranks.reshape(-1)
+        cpos = jnp.cumsum(fvalid.astype(i32)) - 1
+        slot = jnp.where(fvalid, jnp.minimum(cpos, K - 1), K)
+        src = jnp.full(K + 1, -1, i32).at[slot].set(
+            jnp.arange(B * S, dtype=i32), mode="drop"
+        )[:K]
+        safe_src = jnp.clip(src, 0, B * S - 1)
+        cranks = jnp.where(src >= 0, franks[safe_src], 1)
+        cres = kfm.sa_resolve(fm, cranks, sa_interval, axis=shard_axis)
+        tgt = jnp.where(src >= 0, safe_src, B * S)
+        pos = (
+            jnp.zeros(B * S, cres.dtype).at[tgt].set(cres, mode="drop")
+            .reshape(B, S)
+        )
+        truncated = (fvalid & (cpos >= K)).reshape(B, S)
+        valid = valid & ~truncated
+        overflow = overflow | truncated.any(axis=1)
+    else:
+        pos = kfm.sa_resolve(fm, ranks, sa_interval, axis=shard_axis)
     slen = end - start
 
     # bns_intv2rid: drop seeds bridging strand or reference boundaries
