@@ -69,6 +69,7 @@ def full_align_step(
     min_chain_weight: int, max_chain_gap: int,
     mask_level: float, chain_drop_ratio: float,
     sa_interval: int = 32,
+    use_pallas_sw: bool = False,
 ):
     """Jitted full BWA-MEM device pipeline for one batch: SMEM seeding ->
     seed resolution -> chaining -> chain filter -> banded-SW extension.
@@ -97,6 +98,7 @@ def full_align_step(
         o_del=o_del, e_del=e_del, o_ins=o_ins, e_ins=e_ins,
         bandwidth=bandwidth, zdrop=zdrop,
         pen_clip5=pen_clip5, pen_clip3=pen_clip3,
+        use_pallas_sw=use_pallas_sw,
     )
     overflow = (
         mems["overflow"] | seeds["overflow"] | chains["overflow"]
@@ -205,6 +207,10 @@ class Aligner:
             max_chain_gap=opt.max_chain_gap,
             mask_level=opt.mask_level, chain_drop_ratio=opt.chain_drop_ratio,
             sa_interval=self.index.sa_interval,
+            # the Pallas banded-SW kernel beats the XLA one on real TPUs
+            # (per-block early exit); CPU runs use the XLA kernel (the
+            # Pallas interpret path is far slower)
+            use_pallas_sw=jax.devices()[0].platform != "cpu",
         )
 
     def _align_full(self, batch: ReadBatch, with_query_ids: bool) -> list[ReadResult]:

@@ -118,6 +118,7 @@ def fetch_doubled(pac_dev, l_pac, seq_len, positions, axis=None):
         "max_rounds", "max_regs", "max_qlen", "max_tlen",
         "match_score", "mismatch_penalty", "o_del", "e_del", "o_ins", "e_ins",
         "bandwidth", "zdrop", "pen_clip5", "pen_clip3", "shard_axis",
+        "use_pallas_sw",
     ),
 )
 def extend_all(
@@ -137,6 +138,7 @@ def extend_all(
     max_qlen: int = 0,
     max_tlen: int = 0,
     shard_axis: str | None = None,
+    use_pallas_sw: bool = False,
 ):
     """Run the extension stage. Returns per-read region table:
     rb/re/qb/qe/score/truesc/w/seedlen0 int32[B, R] + n_regs + overflow.
@@ -306,14 +308,26 @@ def extend_all(
         todo = cursor < n_usable
         return cursor, slot, todo
 
+    def sw_one(qbuf, qn, tbuf, tn, w, bonus, h0):
+        if use_pallas_sw:
+            from bioseqdb_tpu.kernels.sw_pallas import sw_extend_batch_pallas
+
+            return sw_extend_batch_pallas(
+                qbuf, qn, tbuf, tn, w, h0,
+                match_score=match_score, mismatch_penalty=mismatch_penalty,
+                o_del=o_del, e_del=e_del, o_ins=o_ins, e_ins=e_ins,
+                end_bonus=bonus, zdrop=zdrop, max_qlen=max_qlen,
+            )
+        return sw_extend_batch(qbuf, qn, tbuf, tn, mat, o_del, e_del,
+                               o_ins, e_ins, w, bonus, zdrop, h0, max_qlen)
+
     def sw_with_retry(qbuf, qn, tbuf, tn, h0, bonus, active, prev_sc):
         """One ksw_extend with the reference's MAX_BAND_TRY band doubling:
         retry at twice the band iff the try-1 score differs from the
         pre-extension score AND the max diagonal offset filled the band."""
         qn_a = jnp.where(active, qn, 0)
         w1 = jnp.full(B, bandwidth, i32)
-        r1 = sw_extend_batch(qbuf, qn_a, tbuf, tn, mat, o_del, e_del,
-                             o_ins, e_ins, w1, bonus, zdrop, h0, max_qlen)
+        r1 = sw_one(qbuf, qn_a, tbuf, tn, w1, bonus, h0)
         retry = (
             active
             & (r1["score"] != prev_sc)
@@ -321,8 +335,7 @@ def extend_all(
         )
         qn_b = jnp.where(retry, qn, 0)
         w2 = w1 * 2
-        r2 = sw_extend_batch(qbuf, qn_b, tbuf, tn, mat, o_del, e_del,
-                             o_ins, e_ins, w2, bonus, zdrop, h0, max_qlen)
+        r2 = sw_one(qbuf, qn_b, tbuf, tn, w2, bonus, h0)
         # the reference keeps the wider-band results whenever it retried
         out = {k: jnp.where(retry, r2[k], r1[k]) for k in r1}
         aw = jnp.where(retry, w2, w1)

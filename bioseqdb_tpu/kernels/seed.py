@@ -93,6 +93,8 @@ def collect_seeds_device(
         n_curr=jnp.zeros(B, i32),
         j=jnp.zeros(B, i32),                      # index into prev
         ret=jnp.zeros(B, i32),                    # next pivot after smem1
+        rev1=jnp.zeros(B, jnp.bool_),             # first bwd column reads
+                                                  # prev (=cand) in reverse
         min_intv=jnp.ones(B, rdt),                # per-lane (round 2 overrides)
         mems=jnp.zeros((B, M, 5), rdt),
         n_mem=jnp.zeros(B, i32),
@@ -100,6 +102,8 @@ def collect_seeds_device(
         r2i=jnp.zeros(B, i32),                    # round-2 source mem index
         last_start=jnp.full(B, W + 1, i32),       # containment check state
         iters=jnp.zeros(B, i32),
+        it_r1=jnp.zeros(B, i32),                  # iters when round 1 ended
+        it_r2=jnp.zeros(B, i32),                  # iters when round 2 ended
         overflow=jnp.zeros(B, jnp.bool_),
         # per-lane inputs live in the state so straggler compaction can
         # gather a lane's whole context in one tree_map
@@ -158,7 +162,12 @@ def collect_seeds_device(
         # forward lanes extend st.ik (or r3 ik) forward by q[i];
         # backward lanes extend prev[j] backward by q[i] (prev is stored
         # longest-first: reversed once at the fwd->bwd transition)
-        bwd_iv = dense.pick_row(st["prev"], jnp.clip(j, 0, P - 1))  # (B, 4)
+        # the first backward column must visit candidates longest-first
+        # (bwt_reverse_intvs); instead of materializing a reversed copy
+        # of `cand` (a (B,P,P) one-hot every iteration), read prev in
+        # reverse index order while `rev1` is set
+        j_eff = jnp.where(st["rev1"], st["n_prev"] - 1 - j, j)
+        bwd_iv = dense.pick_row(st["prev"], jnp.clip(j_eff, 0, P - 1))  # (B, 4)
         src_k = jnp.where(in_bwd, bwd_iv[:, 0], st["ik"][:, 0])
         src_l = jnp.where(in_bwd, bwd_iv[:, 1], st["ik"][:, 1])
         src_s = jnp.where(in_bwd, bwd_iv[:, 2], st["ik"][:, 2])
@@ -186,6 +195,7 @@ def collect_seeds_device(
         new["round"] = jnp.where(to_r2, RD_RESEED, new["round"])
         new["n_mem_r1"] = jnp.where(to_r2, st["n_mem"], st["n_mem_r1"])
         new["r2i"] = jnp.where(to_r2, 0, st["r2i"])
+        new["it_r1"] = jnp.where(to_r2, st["iters"], st["it_r1"])
 
         at_r2 = at_pivot & (new["round"] == RD_RESEED)
         r2_src = dense.pick_row(st["mems"], jnp.clip(st["r2i"], 0, M - 1))
@@ -200,6 +210,7 @@ def collect_seeds_device(
         to_r3 = r2_exhausted
         new["round"] = jnp.where(to_r3, RD_LAST, new["round"])
         new["x"] = jnp.where(to_r3, 0, new["x"])
+        new["it_r2"] = jnp.where(to_r3, st["iters"], st["it_r2"])
         at_r3p = at_pivot & (new["round"] == RD_LAST)
         r3_off = at_r3p & ((max_mem_intv <= 0) | (new["x"] >= L))
         new["phase"] = jnp.where(r3_off, PH_DONE, new["phase"])
@@ -225,12 +236,13 @@ def collect_seeds_device(
         new["n_cand"] = jnp.where(go, 0, st["n_cand"])
         new["phase"] = jnp.where(go, PH_FWD, new["phase"])
 
-        # round-3 pivot handling
+        # round-3 pivot handling (one pick: go3 lanes leave x unchanged,
+        # so the post-advance code equals the ambiguity-check code)
         p3 = at_r3p & ~r3_off & (max_mem_intv > 0)
-        amb3 = p3 & (qat(new["x"]) >= 4)
+        q3 = qat(new["x"])
+        amb3 = p3 & (q3 >= 4)
         new["x"] = jnp.where(amb3, new["x"] + 1, new["x"])
         go3 = p3 & ~amb3
-        q3 = qat(new["x"])
         new["ik"] = jnp.where(go3[:, None], set_intv(q3), new["ik"])
         new["i"] = jnp.where(go3, new["x"] + 1, new["i"])
         new["phase"] = jnp.where(go3, PH_R3, new["phase"])
@@ -258,13 +270,11 @@ def collect_seeds_device(
         new["ik_end"] = jnp.where(adv, i + 1, new["ik_end"])
         new["i"] = jnp.where(adv, i + 1, new["i"])
         fwd_done = fwd_end_of_read | fwd_amb | drop_below
-        # transition to backward pass: prev := reverse(cand) so the
-        # backward loop visits longer candidates first (bwt_reverse_intvs).
-        # Dense one-hot reversal: the take_along_axis form gathers B*P
-        # rows EVERY iteration (~0.9 ms at B=2048 — the old hot spot).
-        rev_cand = dense.reverse_prefix(new["cand"], new["n_cand"])
-        new["prev"] = jnp.where(fwd_done[:, None, None], rev_cand, st["prev"])
+        # transition to backward pass: prev := cand, visited in reverse
+        # (longest candidate first, bwt_reverse_intvs) via the rev1 flag
+        new["prev"] = jnp.where(fwd_done[:, None, None], new["cand"], st["prev"])
         new["n_prev"] = jnp.where(fwd_done, new["n_cand"], st["n_prev"])
+        new["rev1"] = jnp.where(fwd_done, True, st["rev1"])
         # ret (next round-1 pivot) = end of the longest candidate = last pushed
         lastc = jnp.clip(new["n_cand"] - 1, 0, P - 1)
         new["ret"] = jnp.where(
@@ -313,6 +323,9 @@ def collect_seeds_device(
         cont = row_done & ~bwd_finished
         new["prev"] = jnp.where(cont[:, None, None], new["curr"], new["prev"])
         new["n_prev"] = jnp.where(cont, new["n_curr"], new["n_prev"])
+        # curr is already built longest-first: subsequent columns iterate
+        # forward
+        new["rev1"] = jnp.where(cont, False, new["rev1"])
         new["n_curr"] = jnp.where(cont, 0, new["n_curr"])
         new["i"] = jnp.where(cont, bw_i - 1, new["i"])
         # (when i reaches -1 the whole row fails with c < 0: curr stays
@@ -385,4 +398,4 @@ def collect_seeds_device(
         sizes.append(b)
     st = run_compacting(st, sizes)
     return dict(mems=st["mems"], n_mem=st["n_mem"], overflow=st["overflow"],
-                iters=st["iters"])
+                iters=st["iters"], it_r1=st["it_r1"], it_r2=st["it_r2"])

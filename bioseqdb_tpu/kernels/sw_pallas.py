@@ -81,11 +81,12 @@ def _sw_kernel(
     e_scr[:] = jnp.zeros((BL, WQ), jnp.int32)
 
     def cond(st):
-        return jnp.any(st["active"])
+        return jnp.any(st["active"] > 0)
 
     def body(st):
         i = st["i"]
-        active = st["active"]
+        active = st["active"] > 0  # carried as int32: Mosaic while loops
+                                   # cannot carry i1 vectors
         beg = jnp.maximum(st["beg"], i - w)
         end = jnp.minimum(jnp.minimum(st["end"], i + w + 1), qlen)
         in_band = (jj >= beg[:, None]) & (jj < end[:, None])
@@ -152,7 +153,9 @@ def _sw_kernel(
         dj = mj - st["max_j"]
         zd1 = st["max"] - m_best - (di - dj) * e_del > zdrop
         zd2 = st["max"] - m_best - (dj - di) * e_ins > zdrop
-        break_z = (~improved) & (zdrop > 0) & jnp.where(di > dj, zd1, zd2)
+        # no jnp.where on two bool vectors (Mosaic rejects i1 selects)
+        big = di > dj
+        break_z = (~improved) & (zdrop > 0) & ((big & zd1) | (~big & zd2))
 
         live = (new_h != 0) | (e_next != 0)
         live &= (jj >= beg[:, None]) & (jj <= end[:, None])
@@ -176,14 +179,14 @@ def _sw_kernel(
             max_i=upds(new_max_i, st["max_i"]), max_j=upds(new_max_j, st["max_j"]),
             max_ie=max_ie, gscore=gscore,
             max_off=upds(new_moff, st["max_off"]),
-            active=active & ~terminated,
+            active=(active & ~terminated).astype(jnp.int32),
         )
 
     z = jnp.zeros((BL,), jnp.int32)
     st = jax.lax.while_loop(cond, body, dict(
         i=z, beg=z, end=qlen.astype(jnp.int32), max=h0.astype(jnp.int32),
         max_i=z - 1, max_j=z - 1, max_ie=z - 1, gscore=z - 1,
-        max_off=z, active=(tlen > 0) & (qlen > 0),
+        max_off=z, active=((tlen > 0) & (qlen > 0)).astype(jnp.int32),
     ))
     out = jnp.stack(
         [st["max"], st["max_j"] + 1, st["max_i"] + 1, st["max_ie"] + 1,
@@ -203,7 +206,7 @@ def sw_extend_batch_pallas(
     match_score: int, mismatch_penalty: int,
     o_del: int, e_del: int, o_ins: int, e_ins: int,
     end_bonus: int, zdrop: int,
-    max_qlen: int, block_lanes: int = 8, interpret: bool = False,
+    max_qlen: int, block_lanes: int = 64, interpret: bool = False,
 ):
     """Pallas twin of sw_extend_batch (match/mismatch scoring form).
     Returns the same dict of int32[B] arrays."""

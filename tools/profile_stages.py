@@ -70,6 +70,9 @@ def main():
         f"p90={np.percentile(it,90):.0f} p99={np.percentile(it,99):.0f} "
         f"max={it.max()}")
     log(f"  overflow={np.asarray(mems['overflow']).sum()}")
+    r1 = np.asarray(mems["it_r1"]); r2 = np.asarray(mems["it_r2"])
+    log(f"  round split (mean iters): r1={r1.mean():.0f} "
+        f"r2={(r2 - r1).mean():.0f} r3={(it - r2).mean():.0f}")
     for cap in (128, 256, 512, 1024):
         t_c, out_c = timed(jax, collect_seeds_device, fm, codes, lens,
                            max_iters=cap, **seed_kw)
@@ -94,7 +97,7 @@ def main():
                   bandwidth=opt.bandwidth, zdrop=opt.zdrop,
                   pen_clip5=opt.pen_clip5, pen_clip3=opt.pen_clip3)
     t_ext, ext = timed(jax, extend_all, fm, pac_dev, codes, lens, seeds, chains,
-                       flt, mat, **ext_kw)
+                       flt, mat, use_pallas_sw=True, **ext_kw)
     log(f"extend:  {t_ext*1e3:.0f} ms")
     total = t_seed + t_res + t_ch + t_fl + t_ext
     log(f"TOTAL:   {total*1e3:.0f} ms  ({B/total:.0f} reads/s device-side)")
