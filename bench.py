@@ -28,7 +28,7 @@ def _log(*a):
     print("[bench]", *a, file=sys.stderr, flush=True)
 
 
-def bench_full(jax, idx, genome, batch_size=1024, n_batches=8):
+def bench_full(jax, idx, genome, batch_size=8192, n_batches=4):
     import numpy as np
 
     from bioseqdb_tpu.align.finalize import finalize_batch

@@ -146,28 +146,171 @@ def emit_read_hits(
     return res
 
 
+def frac_rep_batch(mems: np.ndarray, n_mem: np.ndarray, max_occ: int,
+                   lens: np.ndarray) -> np.ndarray:
+    """Vectorized frac_rep_of over the whole batch: union length of the
+    query spans of high-occurrence seed intervals."""
+    B, M, _ = mems.shape
+    mm = np.arange(M)[None, :]
+    valid = (mm < n_mem[:, None]) & (mems[:, :, 2] > max_occ)
+    start = np.where(valid, mems[:, :, 3], 1 << 20).astype(np.int64)
+    end = np.where(valid, mems[:, :, 4], 1 << 20).astype(np.int64)
+    key = start * (1 << 21) + end
+    order = np.argsort(key, axis=1)
+    ss = np.take_along_axis(start, order, axis=1)
+    ee = np.take_along_axis(end, order, axis=1)
+    vv = np.take_along_axis(valid, order, axis=1)
+    run = np.maximum.accumulate(np.where(vv, ee, 0), axis=1)
+    prev = np.concatenate([np.zeros((B, 1), np.int64), run[:, :-1]], axis=1)
+    contrib = np.where(vv, np.maximum(ee - np.maximum(ss, prev), 0), 0)
+    l_rep = contrib.sum(axis=1)
+    return np.where(lens > 0, l_rep / np.maximum(lens, 1), 0.0)
+
+
+def _finalize_fast(
+    idx: FMIndex, opt: AlignOptions, batch: ReadBatch, out: dict,
+    frac_rep: np.ndarray, with_query_ids: bool,
+) -> tuple[np.ndarray, list[ReadResult | None]]:
+    """Vectorized finalize for the dominant case: exactly one candidate
+    region whose inferred band is zero and whose query/reference spans
+    are equal — reg2aln then always emits an all-M CIGAR (w2 stays 0
+    through its retry loop), no dedup/patch/primary logic applies
+    (single region), and NM/MD reduce to a mismatch walk.
+
+    Must agree exactly with the per-read path (tests/test_finalize_fast).
+    Returns (fast mask, per-row ReadResult or None)."""
+    r = out["regs"]
+    B = len(batch.names)
+    n_regs = np.asarray(out["n_regs"])
+    overflow = np.asarray(out["overflow"])
+    lens = np.asarray(batch.lens).astype(np.int64)
+    qb = np.asarray(r["qb"])[:, 0].astype(np.int64)
+    qe = np.asarray(r["qe"])[:, 0].astype(np.int64)
+    rb = np.asarray(r["rb"])[:, 0].astype(np.int64)
+    re = np.asarray(r["re"])[:, 0].astype(np.int64)
+    score = np.asarray(r["score"])[:, 0].astype(np.int64)
+    truesc = np.asarray(r["truesc"])[:, 0].astype(np.int64)
+    L = qe - qb
+    a, b = opt.match_score, opt.mismatch_penalty
+    # infer_bw == 0 for both gap-type parameterizations (oracle.infer_bw)
+    bw0 = (
+        (L * a - truesc < (opt.o_del + opt.e_del - a) << 1)
+        & (L * a - truesc < (opt.o_ins + opt.e_ins - a) << 1)
+    )
+    fast = (
+        (~overflow) & (n_regs == 1) & (L == (re - rb)) & (L > 0) & bw0
+    )
+    if not fast.any():
+        return fast, [None] * B
+
+    # ---- reference/query windows (qq, rr as reg2aln orients them) ----
+    W = int(L.max())
+    jcols = np.arange(W)[None, :]
+    n = idx.seq_len
+    is_rev = rb >= idx.l_pac
+    rstart = np.where(is_rev, n - re, rb)
+    rpos = np.clip(rstart[:, None] + jcols, 0, idx.l_pac - 1)
+    rvals = np.asarray(idx.pac)[rpos].astype(np.int16)
+    rr = np.where(is_rev[:, None], 3 - rvals, rvals)
+    qpos = np.where(is_rev[:, None], qe[:, None] - 1 - jcols,
+                    qb[:, None] + jcols)
+    qq = np.take_along_axis(
+        np.asarray(batch.codes), np.clip(qpos, 0, batch.codes.shape[1] - 1),
+        axis=1,
+    ).astype(np.int16)
+    inwin = jcols < L[:, None]
+    mism = inwin & ((qq != rr) | (qq > 3))
+    nm = mism.sum(axis=1)
+
+    # ---- MAPQ (approx_mapq with sub=csub=0, sub_n=0) ----
+    sub = float(opt.min_seed_len * a)
+    lmax = L.astype(np.float64)  # qe-qb == re-rb
+    identity = 1.0 - (lmax * a - score) / (a + b) / np.maximum(lmax, 1)
+    tmp = np.where(lmax < 50, 1.0, np.log(50) / np.log(np.maximum(lmax, 2)))
+    tmp *= identity * identity
+    mapq = np.floor(6.02 * (score - sub) / a * tmp * tmp + 0.499)
+    mapq = np.clip(mapq, 0, 60)
+    mapq = np.floor(mapq * (1.0 - frac_rep) + 0.499).astype(np.int64)
+    mapq = np.where(sub >= score, 0, mapq)
+    mapq = np.where(score == 0, 0, mapq)
+
+    # ---- position / rid ----
+    pos = np.where(is_rev, n - re, rb)
+    rid = np.searchsorted(np.asarray(idx.ref_offsets), pos, side="right") - 1
+    local = pos - np.asarray(idx.ref_offsets)[rid]
+    clip5 = np.where(is_rev, lens - qe, qb)
+    clip3 = np.where(is_rev, qb, lens - qe)
+
+    results: list[ReadResult | None] = [None] * B
+    base = "ACGTN"
+    ref_ids = idx.ref_ids
+    ref_names = idx.ref_names
+    for i in np.flatnonzero(fast):
+        name = batch.names[i]
+        if score[i] < opt.min_score:
+            results[i] = ReadResult(query_name=name, hits=[])
+            continue
+        Li = int(L[i])
+        # MD from the mismatch columns (few), same walk as cigar_nm_md
+        cols = np.flatnonzero(mism[i, :Li])
+        md: list[str] = []
+        prevj = -1
+        for j in cols:
+            md.append(str(int(j) - prevj - 1))
+            md.append(base[min(int(rr[i, j]), 4)])
+            prevj = int(j)
+        md.append(str(Li - prevj - 1))
+        cigar = ""
+        if clip5[i]:
+            cigar += f"{int(clip5[i])}S"
+        cigar += f"{Li}M"
+        if clip3[i]:
+            cigar += f"{int(clip3[i])}S"
+        results[i] = ReadResult(query_name=name, hits=[Hit(
+            ref_id=int(ref_ids[rid[i]]) if len(ref_ids) else int(rid[i]),
+            ref_name=ref_names[rid[i]],
+            ref_begin=int(local[i]),
+            ref_end=int(local[i]) + Li,
+            query_id=int(i) if with_query_ids else None,
+            query_name=name,
+            query_begin=int(qb[i]),
+            query_end=int(qe[i]),
+            is_primary=True,
+            is_secondary=False,
+            is_reverse=bool(is_rev[i]),
+            cigar=cigar,
+            score=int(score[i]),
+            mapq=int(mapq[i]),
+            nm=int(nm[i]),
+            md="".join(md),
+            rid=int(rid[i]),
+        )])
+    return fast, results
+
+
 def finalize_batch(
     idx: FMIndex, opt: AlignOptions, batch: ReadBatch, out: dict,
     with_query_ids: bool = True, all_hits: bool = True,
 ) -> list[ReadResult]:
     mat = fill_scmat(opt.match_score, opt.mismatch_penalty)
     max_occ = opt.resolve_max_occ(idx.n_refs)
-    results: list[ReadResult] = []
+    frac_all = frac_rep_batch(np.asarray(out["mems"]), np.asarray(out["n_mem"]),
+                              max_occ, np.asarray(batch.lens))
+    fast, results = _finalize_fast(idx, opt, batch, out, frac_all,
+                                   with_query_ids)
     for i, name in enumerate(batch.names):
+        if results[i] is not None:
+            continue
         q = batch.codes[i, : batch.lens[i]].astype(np.uint8)
         qid = i if with_query_ids else None
         if out["overflow"][i]:
             # device caps exceeded: run the whole read on the host oracle,
             # then apply the same output rules as the device path
             regs = O.mem_align1(idx, opt, q, rand_id=i)
-            results.append(
-                emit_read_hits(idx, opt, q, regs, mat, name, qid, all_hits)
-            )
+            results[i] = emit_read_hits(idx, opt, q, regs, mat, name, qid,
+                                        all_hits)
             continue
-        frac = frac_rep_of(out["mems"][i], int(out["n_mem"][i]), max_occ,
-                           int(batch.lens[i]))
-        regs = regions_to_alnregs(out, i, frac)
-        results.append(
-            finalize_read(idx, opt, q, regs, mat, i, name, qid, all_hits)
-        )
+        regs = regions_to_alnregs(out, i, float(frac_all[i]))
+        results[i] = finalize_read(idx, opt, q, regs, mat, i, name, qid,
+                                   all_hits)
     return results
