@@ -126,13 +126,29 @@ class Aligner:
     mode: str = "full"
     pac_dev: object = None
     mesh: object = None
+    fms: object = None    # FMSharded when the mesh has an "index" axis
 
     @classmethod
     def build(cls, index: FMIndex, options: AlignOptions | None = None,
               device=None, mode: str = "full", mesh=None) -> "Aligner":
-        """Bind an index for alignment. With ``mesh`` (a 1-D jax Mesh),
-        the index replicates to every device and batches shard
-        data-parallel along the batch axis (SURVEY.md §2b)."""
+        """Bind an index for alignment.
+
+        With a ``mesh`` whose only axis is ``data`` (1-D), the index
+        replicates to every device and batches shard data-parallel
+        along the batch axis (SURVEY.md §2b). With an ``index`` axis
+        present (e.g. a 2-D (data, index) mesh), the rank tables shard
+        by BWT-interval row range across it and the full pipeline runs
+        under shard_map (dist/shard_index.py) — the human-scale layout."""
+        if mesh is not None and "index" in getattr(mesh, "axis_names", ()):
+            if mode != "full":
+                raise ValueError("index-sharded meshes support mode='full'")
+            from bioseqdb_tpu.dist.shard_index import shard_index
+
+            return cls(
+                index=index, options=options or AlignOptions(), fm=None,
+                mode=mode, pac_dev=None, mesh=mesh,
+                fms=shard_index(index, mesh),
+            )
         if mesh is not None:
             from bioseqdb_tpu.dist.mesh import replicated
 
@@ -159,16 +175,18 @@ class Aligner:
         lens = np.asarray(batch.lens, np.int32)
         if self.mesh is None:
             return jnp.asarray(codes), jnp.asarray(lens)
-        from bioseqdb_tpu.dist.mesh import batch_sharded, pad_batch_rows
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-        rows = pad_batch_rows(codes.shape[0], self.mesh)
+        names = self.mesh.axis_names
+        d = self.mesh.shape["data"] if "data" in names else 1
+        rows = ((codes.shape[0] + d - 1) // d) * d
         if rows != codes.shape[0]:
             pad = rows - codes.shape[0]
             codes = np.concatenate(
                 [codes, np.full((pad, codes.shape[1]), 4, np.int32)]
             )
             lens = np.concatenate([lens, np.zeros(pad, np.int32)])
-        sh = batch_sharded(self.mesh)
+        sh = NamedSharding(self.mesh, P("data") if "data" in names else P())
         return jax.device_put(codes, sh), jax.device_put(lens, sh)
 
     def align_batch(self, batch: ReadBatch, max_hits: int | None = None,
@@ -193,6 +211,15 @@ class Aligner:
         )
         split_len = int(opt.min_seed_len * opt.reseed_factor + 0.499)
         codes, lens = self._put_batch(batch)
+        if self.fms is not None:
+            from bioseqdb_tpu.dist.shard_index import full_align_step_sharded
+
+            data_axis = "data" if "data" in self.mesh.axis_names else None
+            return full_align_step_sharded(
+                self.fms, codes, lens, mat, self.mesh, opt,
+                self.index.n_refs, data_axis=data_axis,
+                sa_interval=self.index.sa_interval,
+            )
         return full_align_step(
             self.fm, self.pac_dev, codes, lens, mat,
             min_seed_len=opt.min_seed_len, split_len=split_len,

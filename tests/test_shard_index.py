@@ -127,3 +127,34 @@ def test_full_pipeline_sharded_2d_mesh(setup):
         ka = [(h.ref_begin, h.cigar, h.score, h.mapq) for h in a.hits]
         kb = [(h.ref_begin, h.cigar, h.score, h.mapq) for h in b.hits]
         assert ka == kb
+
+
+def test_aligner_2d_mesh(setup):
+    """Aligner.build with a (data, index) mesh runs the sharded pipeline
+    end-to-end and matches the unsharded Aligner exactly."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from bioseqdb_tpu.align.options import AlignOptions
+    from bioseqdb_tpu.align.pipeline import Aligner
+    from bioseqdb_tpu.io.batch import pack_reads
+    from bioseqdb_tpu.utils.sim import simulate_reads
+
+    g, idx, _, fm, _ = setup
+    opt = AlignOptions()
+    sim = simulate_reads(g, 15, read_len=110, sub_rate=0.03, seed=31)
+    batch = pack_reads(sim.reads, sim.names, pad_reads_to=4)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4),
+                axis_names=("data", "index"))
+    al2 = Aligner.build(idx, opt, mesh=mesh)
+    al1 = Aligner.build(idx, opt, mode="full")
+    res2 = al2.align_batch(batch)
+    res1 = al1.align_batch(batch)
+    assert len(res2) >= len(res1)  # data-axis padding rows may be appended
+    for a, b in zip(res1, res2[: len(res1)]):
+        ka = [(h.ref_begin, h.cigar, h.score, h.mapq, h.is_reverse)
+              for h in a.hits]
+        kb = [(h.ref_begin, h.cigar, h.score, h.mapq, h.is_reverse)
+              for h in b.hits]
+        assert ka == kb
