@@ -240,10 +240,30 @@ class Aligner:
             use_pallas_sw=jax.devices()[0].platform != "cpu",
         )
 
+    def _long_read_overflow(self, batch: ReadBatch, out: dict) -> dict:
+        """Queries long enough to trigger mem_flt_chained_seeds (the
+        windowed seed-SW filter, ~>= 900 bp at defaults) are finalized
+        through the host oracle, which implements it — the device
+        seeding path does not (cpu/oracle.py flt_chained_seeds)."""
+        from bioseqdb_tpu.cpu.oracle import seed_sw_filter_active
+
+        lens = np.asarray(batch.lens)
+        if not any(seed_sw_filter_active(self.options, int(l)) for l in
+                   np.unique(lens)):
+            return out
+        mask = np.array(
+            [seed_sw_filter_active(self.options, int(l)) for l in lens]
+        )
+        out = dict(out)
+        out["overflow"] = np.asarray(out["overflow"]).copy()
+        out["overflow"][: len(mask)] |= mask
+        return out
+
     def _align_full(self, batch: ReadBatch, with_query_ids: bool) -> list[ReadResult]:
         from bioseqdb_tpu.align.finalize import finalize_batch
 
         out = jax.device_get(self.device_regions(batch))
+        out = self._long_read_overflow(batch, out)
         return finalize_batch(
             self.index, self.options, batch, out, with_query_ids
         )
@@ -256,8 +276,8 @@ class Aligner:
             raise ValueError("paired-end alignment requires mode='full'")
         from bioseqdb_tpu.align.paired import finalize_pairs
 
-        out1 = jax.device_get(self.device_regions(batch1))
-        out2 = jax.device_get(self.device_regions(batch2))
+        out1 = self._long_read_overflow(batch1, jax.device_get(self.device_regions(batch1)))
+        out2 = self._long_read_overflow(batch2, jax.device_get(self.device_regions(batch2)))
         return finalize_pairs(
             self.index, self.options, batch1, out1, batch2, out2
         )

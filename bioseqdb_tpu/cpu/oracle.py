@@ -579,6 +579,116 @@ def chain2aln(
 # -- dedup / patch ---------------------------------------------------------
 
 
+MEM_SHORT_EXT = 50
+MEM_SHORT_LEN = 200
+MEM_HSP_COEF = 1.1
+MEM_MINSC_COEF = 5.5
+MEM_SEEDSW_COEF = 0.05
+
+
+def local_sw_score(q: np.ndarray, t: np.ndarray, mat: np.ndarray,
+                   o_del: int, e_del: int, o_ins: int, e_ins: int) -> int:
+    """Best local (Smith-Waterman) affine-gap score — score only (the
+    role of ksw_align2's x.score inside mem_seed_sw). Row loop over the
+    target; the within-row F recursion uses the lazy-F prefix-max form
+    (exact for nonnegative gap-open costs)."""
+    m = len(q)
+    if m == 0 or len(t) == 0:
+        return 0
+    oe_del, oe_ins = o_del + e_del, o_ins + e_ins
+    jj = np.arange(m, dtype=np.int64)
+    qv = np.asarray(q, np.int64)
+    H = np.zeros(m, np.int64)      # H(i-1, j)
+    E = np.zeros(m, np.int64)      # E(i, j)
+    best = 0
+    for ti in t:
+        srow = mat[int(ti), qv]
+        diag = np.concatenate([[0], H[:-1]]) + srow
+        E = np.maximum(E - e_del, H - oe_del)
+        hne = np.maximum(np.maximum(diag, E), 0)
+        opener = np.maximum.accumulate(hne - oe_ins + e_ins * jj)
+        F = np.concatenate([[-1 << 30], opener[:-1]]) - e_ins * jj
+        H = np.maximum(hne, F)
+        best = max(best, int(H.max()))
+    return best
+
+
+def _clip_to_ref(idx: FMIndex, rb: int, re: int, mid: int) -> tuple[int, int]:
+    """bns_fetch_seq's boundary clip: shrink the doubled-text window
+    [rb, re) to the reference containing ``mid`` (same strand)."""
+    n, L = idx.seq_len, idx.l_pac
+    if mid < L:
+        rid = idx.rid_of(mid)
+        off = int(idx.ref_offsets[rid])
+        end = off + int(idx.ref_lens[rid])
+        return max(rb, off), min(re, end)
+    fmid = n - 1 - mid
+    rid = idx.rid_of(fmid)
+    off = int(idx.ref_offsets[rid])
+    end = off + int(idx.ref_lens[rid])
+    frb, fre = max(n - re, off), min(n - rb, end)
+    return n - fre, n - frb
+
+
+def mem_seed_sw(idx: FMIndex, opt: AlignOptions, q: np.ndarray, s: Seed,
+                mat: np.ndarray) -> int:
+    """mem_seed_sw: re-score a short seed with local SW over a +-50
+    window; -1 = seed long/window large enough that no check is needed."""
+    if s.len >= MEM_SHORT_LEN:
+        return -1
+    l_query = len(q)
+    l_pac = idx.l_pac
+    qb, qe = s.qbeg, s.qbeg + s.len
+    rb, re = s.rbeg, s.rbeg + s.len
+    mid = (rb + re) >> 1
+    qb = max(qb - MEM_SHORT_EXT, 0)
+    qe = min(qe + MEM_SHORT_EXT, l_query)
+    rb = max(rb - MEM_SHORT_EXT, 0)
+    re = min(re + MEM_SHORT_EXT, l_pac << 1)
+    if rb < l_pac < re:
+        if mid < l_pac:
+            re = l_pac
+        else:
+            rb = l_pac
+    if qe - qb >= MEM_SHORT_LEN or re - rb >= MEM_SHORT_LEN:
+        return -1
+    rb, re = _clip_to_ref(idx, rb, re, mid)
+    rseq = get_dseq(idx, rb, re)
+    return local_sw_score(q[qb:qe], rseq, mat, opt.o_del, opt.e_del,
+                          opt.o_ins, opt.e_ins)
+
+
+def seed_sw_filter_active(opt: AlignOptions, l_query: int) -> bool:
+    """Whether mem_flt_chained_seeds runs for this query length (its
+    early-return guard inverted): only for long queries (~>= 900 bp at
+    default options)."""
+    if l_query <= 0:
+        return False
+    min_l = (MEM_HSP_COEF * opt.min_chain_weight if opt.min_chain_weight
+             else MEM_MINSC_COEF * np.log(l_query))
+    return min_l <= MEM_SEEDSW_COEF * l_query
+
+
+def flt_chained_seeds(idx: FMIndex, opt: AlignOptions, q: np.ndarray,
+                      chains: list[Chain], mat: np.ndarray) -> list[Chain]:
+    """mem_flt_chained_seeds: for long queries, re-score each short seed
+    with a windowed local SW and drop seeds below the min-HSP score."""
+    if not seed_sw_filter_active(opt, len(q)):
+        return chains
+    min_l = (MEM_HSP_COEF * opt.min_chain_weight if opt.min_chain_weight
+             else MEM_MINSC_COEF * np.log(len(q)))
+    min_hsp = int(opt.match_score * min_l + 0.499)
+    for c in chains:
+        kept = []
+        for s in c.seeds:
+            s.score = mem_seed_sw(idx, opt, q, s, mat)
+            if s.score < 0 or s.score >= min_hsp:
+                s.score = s.len * opt.match_score if s.score < 0 else s.score
+                kept.append(s)
+        c.seeds = kept
+    return [c for c in chains if c.seeds]
+
+
 def infer_bw(l1: int, l2: int, score: int, a: int, q: int, r: int) -> int:
     if l1 == l2 and l1 * a - score < (q + r - a) << 1:
         return 0
@@ -845,8 +955,8 @@ def mem_align1(
     mat = fill_scmat(opt.match_score, opt.mismatch_penalty)
     chains = mem_chain(idx, opt, q)
     chains = chain_flt(opt, chains)
-    # mem_flt_chained_seeds: no-op for short reads (its min_l guard always
-    # returns early below ~500 bp query length); long-read support later
+    # long queries only (~>= 900 bp at defaults): windowed seed-SW filter
+    chains = flt_chained_seeds(idx, opt, q, chains, mat)
     regs: list[AlnReg] = []
     for c in chains:
         chain2aln(idx, opt, q, c, regs, mat)

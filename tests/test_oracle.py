@@ -203,3 +203,63 @@ def test_mapq_monotone_in_gap():
     assert m[0] == 60
     assert m == sorted(m, reverse=True)
     assert O.approx_mapq(opt, O.AlnReg(**base, score=100, sub=100)) == 0
+
+
+def test_seed_sw_filter_guard():
+    """mem_flt_chained_seeds' activation guard: inactive for short
+    queries, active for ~>=900bp (defaults); min_chain_weight overrides."""
+    from bioseqdb_tpu.align.options import AlignOptions
+    from bioseqdb_tpu.cpu.oracle import seed_sw_filter_active
+
+    opt = AlignOptions()
+    assert not seed_sw_filter_active(opt, 150)
+    assert not seed_sw_filter_active(opt, 500)
+    assert seed_sw_filter_active(opt, 1000)
+    assert seed_sw_filter_active(opt, 5000)
+    opt2 = AlignOptions(min_chain_weight=10)
+    # 1.1*10 = 11 <= 0.05*l  =>  l >= 220
+    assert not seed_sw_filter_active(opt2, 200)
+    assert seed_sw_filter_active(opt2, 240)
+
+
+def test_local_sw_score_basics():
+    import numpy as np
+
+    from bioseqdb_tpu.cpu.ksw import fill_scmat
+    from bioseqdb_tpu.cpu.oracle import local_sw_score
+
+    mat = fill_scmat(1, 4)
+    q = np.array([0, 1, 2, 3, 0, 1, 2, 3], np.uint8)
+    assert local_sw_score(q, q, mat, 6, 1, 6, 1) == 8
+    # one mismatch in the middle: best local score = longest clean run
+    t = q.copy(); t[4] = 3
+    assert local_sw_score(q, t, mat, 6, 1, 6, 1) == 4
+    # deletion of one base: 8 matches minus one gap open+ext vs 4-run
+    t2 = np.concatenate([q[:4], q[5:]])
+    assert local_sw_score(q, t2, mat, 6, 1, 6, 1) == max(7 - 7, 4)
+
+
+def test_long_read_end_to_end():
+    """A 1200bp mutated read goes through mem_align1 with the seed-SW
+    filter active and still lands at the truth position."""
+    import numpy as np
+
+    from bioseqdb_tpu.align.options import AlignOptions
+    from bioseqdb_tpu.cpu import oracle as O
+    from bioseqdb_tpu.index.builder import build_index
+    from bioseqdb_tpu.seq.codec import CODE_OF
+    from bioseqdb_tpu.utils.sim import simulate_genome
+
+    genome = simulate_genome(50_000, seed=41)
+    idx = build_index([("g", genome)])
+    opt = AlignOptions()
+    rng = np.random.default_rng(7)
+    pos = 13000
+    frag = list(genome[pos:pos + 1200])
+    for j in rng.integers(0, 1200, 24):
+        frag[j] = "ACGT"[rng.integers(0, 4)]
+    q = CODE_OF[np.frombuffer("".join(frag).encode(), np.uint8)]
+    assert O.seed_sw_filter_active(opt, len(q))
+    regs = O.mem_align1(idx, opt, q)
+    regs = [r for r in regs if r.secondary < 0]
+    assert regs and abs(regs[0].rb - pos) <= 4
