@@ -167,29 +167,30 @@ def frac_rep_batch(mems: np.ndarray, n_mem: np.ndarray, max_occ: int,
     return np.where(lens > 0, l_rep / np.maximum(lens, 1), 0.0)
 
 
-def _finalize_fast(
+def fast_fields(
     idx: FMIndex, opt: AlignOptions, batch: ReadBatch, out: dict,
-    frac_rep: np.ndarray, with_query_ids: bool,
-) -> tuple[np.ndarray, list[ReadResult | None]]:
-    """Vectorized finalize for the dominant case: exactly one candidate
-    region whose inferred band is zero and whose query/reference spans
-    are equal — reg2aln then always emits an all-M CIGAR (w2 stays 0
-    through its retry loop), no dedup/patch/primary logic applies
-    (single region), and NM/MD reduce to a mismatch walk.
+    frac_rep: np.ndarray,
+) -> dict:
+    """Vectorized finalize fields for the dominant case: exactly one
+    candidate region whose inferred band is zero and whose
+    query/reference spans are equal — reg2aln then always emits an all-M
+    CIGAR (w2 stays 0 through its retry loop), no dedup/patch/primary
+    logic applies (single region), and NM/MD reduce to a mismatch walk.
 
     Must agree exactly with the per-read path (tests/test_finalize_fast).
-    Returns (fast mask, per-row ReadResult or None)."""
+    Returns a dict of per-row vectors with a ``fast`` eligibility mask;
+    ``fast_hit``/SE & PE assemblers build Hits from it."""
     r = out["regs"]
     B = len(batch.names)
-    n_regs = np.asarray(out["n_regs"])
-    overflow = np.asarray(out["overflow"])
-    lens = np.asarray(batch.lens).astype(np.int64)
-    qb = np.asarray(r["qb"])[:, 0].astype(np.int64)
-    qe = np.asarray(r["qe"])[:, 0].astype(np.int64)
-    rb = np.asarray(r["rb"])[:, 0].astype(np.int64)
-    re = np.asarray(r["re"])[:, 0].astype(np.int64)
-    score = np.asarray(r["score"])[:, 0].astype(np.int64)
-    truesc = np.asarray(r["truesc"])[:, 0].astype(np.int64)
+    n_regs = np.asarray(out["n_regs"])[:B]
+    overflow = np.asarray(out["overflow"])[:B]
+    lens = np.asarray(batch.lens).astype(np.int64)[:B]
+    qb = np.asarray(r["qb"])[:B, 0].astype(np.int64)
+    qe = np.asarray(r["qe"])[:B, 0].astype(np.int64)
+    rb = np.asarray(r["rb"])[:B, 0].astype(np.int64)
+    re = np.asarray(r["re"])[:B, 0].astype(np.int64)
+    score = np.asarray(r["score"])[:B, 0].astype(np.int64)
+    truesc = np.asarray(r["truesc"])[:B, 0].astype(np.int64)
     L = qe - qb
     a, b = opt.match_score, opt.mismatch_penalty
     # infer_bw == 0 for both gap-type parameterizations (oracle.infer_bw)
@@ -200,8 +201,10 @@ def _finalize_fast(
     fast = (
         (~overflow) & (n_regs == 1) & (L == (re - rb)) & (L > 0) & bw0
     )
+    f = dict(fast=fast, L=L, qb=qb, qe=qe, rb=rb, re=re, score=score,
+             frac_rep=np.asarray(frac_rep)[:B])
     if not fast.any():
-        return fast, [None] * B
+        return f
 
     # ---- reference/query windows (qq, rr as reg2aln orients them) ----
     W = int(L.max())
@@ -215,7 +218,7 @@ def _finalize_fast(
     qpos = np.where(is_rev[:, None], qe[:, None] - 1 - jcols,
                     qb[:, None] + jcols)
     qq = np.take_along_axis(
-        np.asarray(batch.codes), np.clip(qpos, 0, batch.codes.shape[1] - 1),
+        np.asarray(batch.codes)[:B], np.clip(qpos, 0, batch.codes.shape[1] - 1),
         axis=1,
     ).astype(np.int16)
     inwin = jcols < L[:, None]
@@ -230,7 +233,7 @@ def _finalize_fast(
     tmp *= identity * identity
     mapq = np.floor(6.02 * (score - sub) / a * tmp * tmp + 0.499)
     mapq = np.clip(mapq, 0, 60)
-    mapq = np.floor(mapq * (1.0 - frac_rep) + 0.499).astype(np.int64)
+    mapq = np.floor(mapq * (1.0 - f["frac_rep"]) + 0.499).astype(np.int64)
     mapq = np.where(sub >= score, 0, mapq)
     mapq = np.where(score == 0, 0, mapq)
 
@@ -240,51 +243,71 @@ def _finalize_fast(
     local = pos - np.asarray(idx.ref_offsets)[rid]
     clip5 = np.where(is_rev, lens - qe, qb)
     clip3 = np.where(is_rev, qb, lens - qe)
+    f.update(is_rev=is_rev, mism=mism, rr=rr, nm=nm, mapq=mapq, rid=rid,
+             local=local, clip5=clip5, clip3=clip3)
+    return f
 
-    results: list[ReadResult | None] = [None] * B
-    base = "ACGTN"
-    ref_ids = idx.ref_ids
-    ref_names = idx.ref_names
+
+_MD_BASE = "ACGTN"
+
+
+def fast_hit(idx: FMIndex, f: dict, i: int, name: str,
+             query_id: int | None) -> Hit:
+    """Assemble the Hit for fast row ``i`` (MD walk over the few
+    mismatch columns; all-M CIGAR plus soft clips)."""
+    Li = int(f["L"][i])
+    cols = np.flatnonzero(f["mism"][i, :Li])
+    md: list[str] = []
+    prevj = -1
+    for j in cols:
+        md.append(str(int(j) - prevj - 1))
+        md.append(_MD_BASE[min(int(f["rr"][i, j]), 4)])
+        prevj = int(j)
+    md.append(str(Li - prevj - 1))
+    cigar = ""
+    if f["clip5"][i]:
+        cigar += f"{int(f['clip5'][i])}S"
+    cigar += f"{Li}M"
+    if f["clip3"][i]:
+        cigar += f"{int(f['clip3'][i])}S"
+    rid = int(f["rid"][i])
+    local = int(f["local"][i])
+    return Hit(
+        ref_id=int(idx.ref_ids[rid]) if len(idx.ref_ids) else rid,
+        ref_name=idx.ref_names[rid],
+        ref_begin=local,
+        ref_end=local + Li,
+        query_id=query_id,
+        query_name=name,
+        query_begin=int(f["qb"][i]),
+        query_end=int(f["qe"][i]),
+        is_primary=True,
+        is_secondary=False,
+        is_reverse=bool(f["is_rev"][i]),
+        cigar=cigar,
+        score=int(f["score"][i]),
+        mapq=int(f["mapq"][i]),
+        nm=int(f["nm"][i]),
+        md="".join(md),
+        rid=rid,
+    )
+
+
+def _finalize_fast(
+    idx: FMIndex, opt: AlignOptions, batch: ReadBatch, out: dict,
+    frac_rep: np.ndarray, with_query_ids: bool,
+) -> tuple[np.ndarray, list[ReadResult | None]]:
+    f = fast_fields(idx, opt, batch, out, frac_rep)
+    fast = f["fast"]
+    results: list[ReadResult | None] = [None] * len(batch.names)
     for i in np.flatnonzero(fast):
         name = batch.names[i]
-        if score[i] < opt.min_score:
+        if f["score"][i] < opt.min_score:
             results[i] = ReadResult(query_name=name, hits=[])
             continue
-        Li = int(L[i])
-        # MD from the mismatch columns (few), same walk as cigar_nm_md
-        cols = np.flatnonzero(mism[i, :Li])
-        md: list[str] = []
-        prevj = -1
-        for j in cols:
-            md.append(str(int(j) - prevj - 1))
-            md.append(base[min(int(rr[i, j]), 4)])
-            prevj = int(j)
-        md.append(str(Li - prevj - 1))
-        cigar = ""
-        if clip5[i]:
-            cigar += f"{int(clip5[i])}S"
-        cigar += f"{Li}M"
-        if clip3[i]:
-            cigar += f"{int(clip3[i])}S"
-        results[i] = ReadResult(query_name=name, hits=[Hit(
-            ref_id=int(ref_ids[rid[i]]) if len(ref_ids) else int(rid[i]),
-            ref_name=ref_names[rid[i]],
-            ref_begin=int(local[i]),
-            ref_end=int(local[i]) + Li,
-            query_id=int(i) if with_query_ids else None,
-            query_name=name,
-            query_begin=int(qb[i]),
-            query_end=int(qe[i]),
-            is_primary=True,
-            is_secondary=False,
-            is_reverse=bool(is_rev[i]),
-            cigar=cigar,
-            score=int(score[i]),
-            mapq=int(mapq[i]),
-            nm=int(nm[i]),
-            md="".join(md),
-            rid=int(rid[i]),
-        )])
+        results[i] = ReadResult(query_name=name, hits=[
+            fast_hit(idx, f, i, name, int(i) if with_query_ids else None)
+        ])
     return fast, results
 
 

@@ -59,23 +59,44 @@ class PeStat:
     std: float = 100.0
 
 
+def infer_dir_vec(l_pac: int, b1: np.ndarray, b2: np.ndarray):
+    """Vectorized infer_dir over pair arrays."""
+    r1, r2 = b1 >= l_pac, b2 >= l_pac
+    same = r1 == r2
+    p2 = np.where(same, b2, (l_pac << 1) - 1 - b2)
+    dist = np.abs(p2 - b1)
+    d = np.where(same, 0, 1) ^ np.where(p2 > b1, 0, 3)
+    return d, dist
+
+
 def pestat(reg_pairs, opt: AlignOptions, l_pac: int) -> list[PeStat]:
     """Insert-size statistics per orientation from best-region pairs.
 
     ``reg_pairs``: iterable of (regs_end1, regs_end2) — mark_primary'd
     region lists (best first).
     """
-    isize = [[] for _ in range(4)]
+    rb1, rb2, s1, s2 = [], [], [], []
     for r1, r2 in reg_pairs:
         if not r1 or not r2:
             continue
-        b1, b2 = r1[0], r2[0]
-        if b1.score < opt.min_score or b2.score < opt.min_score:
-            continue
-        d, dist = infer_dir(l_pac, b1.rb, b2.rb)
-        if dist <= 0:
-            continue
-        isize[d].append(dist)
+        rb1.append(r1[0].rb)
+        rb2.append(r2[0].rb)
+        s1.append(r1[0].score)
+        s2.append(r2[0].score)
+    return pestat_arrays(np.asarray(rb1, np.int64), np.asarray(rb2, np.int64),
+                         np.asarray(s1), np.asarray(s2), opt, l_pac)
+
+
+def pestat_arrays(rb1, rb2, s1, s2, opt: AlignOptions,
+                  l_pac: int) -> list[PeStat]:
+    """pestat over best-pair coordinate/score arrays (vector front)."""
+    isize = [[] for _ in range(4)]
+    if len(rb1):
+        ok = (np.asarray(s1) >= opt.min_score) & (np.asarray(s2) >= opt.min_score)
+        d, dist = infer_dir_vec(l_pac, np.asarray(rb1), np.asarray(rb2))
+        ok &= dist > 0
+        for dd in range(4):
+            isize[dd] = dist[ok & (d == dd)].tolist()
     out = []
     for d in range(4):
         vals = sorted(isize[d])
@@ -246,33 +267,99 @@ def finalize_pairs(
     idx: FMIndex, opt: AlignOptions, batch1, out1, batch2, out2,
 ) -> list[tuple[ReadResult, ReadResult]]:
     """Pair the two ends of each template and produce per-end results
-    with PE flags/MAPQ. batchN/outN as in finalize_batch."""
+    with PE flags/MAPQ. batchN/outN as in finalize_batch.
+
+    The dominant case — both ends single-region fast-eligible
+    (finalize.fast_fields) and provably not triggering mate rescue —
+    runs without building region lists or calling reg2aln: vector window
+    math + a light per-pair assembly. Everything else takes the full
+    per-read path. Pinned equal by tests/test_paired.py."""
+    from bioseqdb_tpu.align.finalize import fast_fields, frac_rep_batch
+
     mat = fill_scmat(opt.match_score, opt.mismatch_penalty)
     max_occ = opt.resolve_max_occ(idx.n_refs)
+    n = min(batch1.n, batch2.n)
+
+    frac1 = frac_rep_batch(np.asarray(out1["mems"]), np.asarray(out1["n_mem"]),
+                           max_occ, np.asarray(batch1.lens))
+    frac2 = frac_rep_batch(np.asarray(out2["mems"]), np.asarray(out2["n_mem"]),
+                           max_occ, np.asarray(batch2.lens))
+    f1 = fast_fields(idx, opt, batch1, out1, frac1)
+    f2 = fast_fields(idx, opt, batch2, out2, frac2)
+    cand = f1["fast"][:n] & f2["fast"][:n]
 
     def regs_for(batch, out, i, rid_base):
         q = batch.codes[i, : batch.lens[i]].astype(np.uint8)
         if out["overflow"][i]:
             regs = O.mem_align1(idx, opt, q, rand_id=rid_base + i)
         else:
-            frac = frac_rep_of(out["mems"][i], int(out["n_mem"][i]), max_occ,
-                               int(batch.lens[i]))
-            regs = regions_to_alnregs(out, i, frac)
+            frac = (frac1 if rid_base == 0 else frac2)[i]
+            regs = regions_to_alnregs(out, i, float(frac))
             regs = O.sort_dedup_patch(idx, opt, q, regs, mat)
             regs = O.mark_primary(opt, regs, rid_base + i)
         return q, regs
 
-    n = min(batch1.n, batch2.n)
-    all_regs = []
+    all_regs: dict[int, tuple] = {}
     for i in range(n):
-        q1, r1 = regs_for(batch1, out1, i, 0)
-        q2, r2 = regs_for(batch2, out2, i, 1 << 20)
-        all_regs.append(((q1, r1), (q2, r2)))
+        if not cand[i]:
+            all_regs[i] = (regs_for(batch1, out1, i, 0),
+                           regs_for(batch2, out2, i, 1 << 20))
 
-    pes = pestat(((r1, r2) for (q1, r1), (q2, r2) in all_regs), opt, idx.l_pac)
+    # insert-size stats over ALL pairs: fast rows from the vector fields,
+    # the rest from their region lists
+    rb1l, rb2l, s1l, s2l = (
+        [f1["rb"][:n][cand]], [f2["rb"][:n][cand]], [f1["score"][:n][cand]],
+        [f2["score"][:n][cand]],
+    )
+    for i, ((q1, r1), (q2, r2)) in all_regs.items():
+        if r1 and r2:
+            rb1l.append([r1[0].rb]); rb2l.append([r2[0].rb])
+            s1l.append([r1[0].score]); s2l.append([r2[0].score])
+    pes = pestat_arrays(
+        np.concatenate([np.asarray(x, np.int64) for x in rb1l]),
+        np.concatenate([np.asarray(x, np.int64) for x in rb2l]),
+        np.concatenate([np.asarray(x, np.int64) for x in s1l]),
+        np.concatenate([np.asarray(x, np.int64) for x in s2l]),
+        opt, idx.l_pac,
+    )
+
+    # pairs provably skipping mate rescue: for a single-region mate, the
+    # rescue loop is a no-op iff every non-failed orientation is exactly
+    # the pair's orientation AND the pair's distance is within bounds
+    failed = np.array([st.failed for st in pes])
+    low = np.array([st.low for st in pes], np.int64)
+    high = np.array([st.high for st in pes], np.int64)
+    n_active = int((~failed).sum())
+
+    def no_rescue(rb_a, rb_m):
+        if n_active == 0:
+            return np.ones(len(rb_a), bool)
+        d, dist = infer_dir_vec(idx.l_pac, rb_a, rb_m)
+        cons = (~failed[d]) & (low[d] <= dist) & (dist <= high[d])
+        return cons & (n_active == 1) & (~failed[d])
+
+    fast_pair = cand.copy()
+    if cand.any():
+        rb1c, rb2c = f1["rb"][:n], f2["rb"][:n]
+        nr = np.zeros(n, bool)
+        nr[cand] = (no_rescue(rb1c[cand], rb2c[cand])
+                    & no_rescue(rb2c[cand], rb1c[cand]))
+        fast_pair &= nr
+
+    # rescue-needed candidate rows fall back to the full path
+    for i in np.flatnonzero(cand & ~fast_pair):
+        i = int(i)
+        all_regs[i] = (regs_for(batch1, out1, i, 0),
+                       regs_for(batch2, out2, i, 1 << 20))
 
     results = []
-    for i, ((q1, regs1), (q2, regs2)) in enumerate(all_regs):
+    for i in range(n):
+        if fast_pair[i]:
+            results.append(
+                _fast_pair_one(idx, opt, pes, batch1.names[i], f1, f2, i)
+            )
+            continue
+        (q1, regs1), (q2, regs2) = all_regs[i]
         # mate rescue: anchor on each end's near-best regions
         if any(not st.failed for st in pes):
             for (regs_a, q_m, regs_m) in ((regs1, q2, regs2), (regs2, q1, regs1)):
@@ -288,6 +375,45 @@ def finalize_pairs(
             _pair_one(idx, opt, mat, pes, batch1.names[i], q1, regs1, q2, regs2)
         )
     return results
+
+
+def _fast_pair_one(idx, opt, pes, name, f1, f2, i):
+    """_pair_one for a fast pair: single candidate region per end, no
+    rescue; mem_pair degenerates to one orientation/distance check."""
+    from bioseqdb_tpu.align.finalize import fast_hit
+
+    l_pac = idx.l_pac
+    s1, s2 = int(f1["score"][i]), int(f2["score"][i])
+    d, dist = infer_dir(l_pac, int(f1["rb"][i]), int(f2["rb"][i]))
+    st = pes[d]
+    paired = False
+    pscore = 0
+    if not st.failed and st.low <= dist <= st.high:
+        ns = (dist - st.avg) / st.std
+        q = int(
+            -4.343 * math.log10(2.0 * math.erfc(abs(ns) * (2 ** -0.5)) + 1e-300)
+            + 0.499
+        )
+        pscore = s1 + s2 + max(-q, -opt.pen_unpaired)
+        score_un = s1 + s2 - opt.pen_unpaired
+        paired = pscore > 0 and pscore > score_un
+    h1 = fast_hit(idx, f1, i, name, None)
+    h2 = fast_hit(idx, f2, i, name, None)
+    if paired:
+        score_un = s1 + s2 - opt.pen_unpaired
+        subo = max(0, score_un)
+        q_pe = raw_mapq(pscore - subo, opt.match_score)
+        q_pe = max(0, min(60, q_pe))
+        fr = 0.5 * (float(f1["frac_rep"][i]) + float(f2["frac_rep"][i]))
+        q_pe = int(q_pe * (1.0 - fr) + 0.499)
+        for hit in (h1, h2):
+            q_se = hit.mapq
+            hit.mapq = q_se if q_se > q_pe else min(q_pe, q_se + 40)
+    res1 = ReadResult(query_name=name, hits=[h1])
+    res2 = ReadResult(query_name=name, hits=[h2])
+    res1.pe = _pe_info(h1, h2, True, paired)   # type: ignore[attr-defined]
+    res2.pe = _pe_info(h2, h1, False, paired)  # type: ignore[attr-defined]
+    return res1, res2
 
 
 def _pair_one(idx, opt, mat, pes, name, q1, regs1, q2, regs2):

@@ -242,3 +242,53 @@ def test_pe_invariants_fuzz(case):
         if not res2.mapped:
             assert pe1.flag_extra & 0x8
     assert n_proper >= 20  # stats converge for same-distribution batches
+
+
+def test_pe_fast_path_matches_slow(setup):
+    """The vectorized PE fast path must produce identical records to the
+    per-read path (forced by disabling fast eligibility)."""
+    import numpy as np
+
+    import bioseqdb_tpu.align.finalize as F
+    from bioseqdb_tpu.align.options import AlignOptions
+    from bioseqdb_tpu.align.paired import finalize_pairs
+    from bioseqdb_tpu.align.pipeline import Aligner
+    from bioseqdb_tpu.io.batch import pack_reads
+    from bioseqdb_tpu.utils.sim import simulate_pairs
+
+    g, idx = setup[0], setup[1]
+    opt = AlignOptions()
+    sr1, sr2, _ = simulate_pairs(g, 96, read_len=100, sub_rate=0.01,
+                                 insert_mean=300, insert_std=30, seed=55)
+    b1 = pack_reads(sr1.reads, sr1.names)
+    b2 = pack_reads(sr2.reads, sr2.names)
+    al = Aligner.build(idx, opt, mode="full")
+    import jax
+
+    out1 = jax.device_get(al.device_regions(b1))
+    out2 = jax.device_get(al.device_regions(b2))
+
+    fast = finalize_pairs(idx, opt, b1, out1, b2, out2)
+
+    real_ff = F.fast_fields
+
+    def no_fast(*a, **kw):
+        f = real_ff(*a, **kw)
+        f["fast"] = np.zeros_like(f["fast"])
+        return f
+
+    F.fast_fields, saved = no_fast, real_ff
+    try:
+        slow = finalize_pairs(idx, opt, b1, out1, b2, out2)
+    finally:
+        F.fast_fields = saved
+
+    n_fastpairs = 0
+    for (fa, fb), (sa, sb) in zip(fast, slow):
+        for x, y in zip((fa, fb), (sa, sb)):
+            assert len(x.hits) == len(y.hits)
+            for hx, hy in zip(x.hits, y.hits):
+                assert hx == hy, (x.query_name, hx, hy)
+            assert x.pe == y.pe, (x.query_name, x.pe, y.pe)
+        n_fastpairs += 1
+    assert n_fastpairs == 96
