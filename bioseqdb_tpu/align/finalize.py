@@ -171,15 +171,21 @@ def fast_fields(
     idx: FMIndex, opt: AlignOptions, batch: ReadBatch, out: dict,
     frac_rep: np.ndarray,
 ) -> dict:
-    """Vectorized finalize fields for the dominant case: exactly one
-    candidate region whose inferred band is zero and whose
-    query/reference spans are equal — reg2aln then always emits an all-M
-    CIGAR (w2 stays 0 through its retry loop), no dedup/patch/primary
-    logic applies (single region), and NM/MD reduce to a mismatch walk.
+    """Vectorized finalize fields for every single-region read.
+
+    With exactly one candidate region, mem_sort_dedup_patch and
+    mem_mark_primary_se are no-ops (the region stays primary with
+    sub = csub = sub_n = 0), so the whole per-read tail reduces to
+    mem_reg2aln — run batched: MAPQ/position/clip math vectorized here,
+    and the alignment tail (band inference, banded global alignment with
+    the band-doubling retry, NM/MD, CIGAR text) in one native OpenMP
+    call (index/native/finalize1.cpp:reg2aln1_batch_c).
 
     Must agree exactly with the per-read path (tests/test_finalize_fast).
     Returns a dict of per-row vectors with a ``fast`` eligibility mask;
     ``fast_hit``/SE & PE assemblers build Hits from it."""
+    from bioseqdb_tpu.index.native.build import reg2aln1_batch
+
     r = out["regs"]
     B = len(batch.names)
     n_regs = np.asarray(out["n_regs"])[:B]
@@ -191,43 +197,68 @@ def fast_fields(
     re = np.asarray(r["re"])[:B, 0].astype(np.int64)
     score = np.asarray(r["score"])[:B, 0].astype(np.int64)
     truesc = np.asarray(r["truesc"])[:B, 0].astype(np.int64)
-    L = qe - qb
+    w_reg = np.asarray(r["w"])[:B, 0].astype(np.int64)
+    Lq = qe - qb
+    Lt = re - rb
     a, b = opt.match_score, opt.mismatch_penalty
-    # infer_bw == 0 for both gap-type parameterizations (oracle.infer_bw)
-    bw0 = (
-        (L * a - truesc < (opt.o_del + opt.e_del - a) << 1)
-        & (L * a - truesc < (opt.o_ins + opt.e_ins - a) << 1)
-    )
+    n = idx.seq_len
+    l_pac = idx.l_pac
+    is_rev = rb >= l_pac
+    # the target window must not bridge the forward/reverse junction,
+    # and a pathological span mismatch goes to the per-read path
+    in_strand = np.where(is_rev, rb >= l_pac, re <= l_pac)
     fast = (
-        (~overflow) & (n_regs == 1) & (L == (re - rb)) & (L > 0) & bw0
+        (~overflow) & (n_regs == 1) & (Lq > 0) & (Lt > 0) & in_strand
+        & (Lt <= Lq + (opt.bandwidth << 2) + 16)
     )
-    f = dict(fast=fast, L=L, qb=qb, qe=qe, rb=rb, re=re, score=score,
+    f = dict(fast=fast, L=Lq, qb=qb, qe=qe, rb=rb, re=re, score=score,
              frac_rep=np.asarray(frac_rep)[:B])
     if not fast.any():
         return f
+    sel = np.flatnonzero(fast)
 
-    # ---- reference/query windows (qq, rr as reg2aln orients them) ----
-    W = int(L.max())
-    jcols = np.arange(W)[None, :]
-    n = idx.seq_len
-    is_rev = rb >= idx.l_pac
-    rstart = np.where(is_rev, n - re, rb)
-    rpos = np.clip(rstart[:, None] + jcols, 0, idx.l_pac - 1)
-    rvals = np.asarray(idx.pac)[rpos].astype(np.int16)
-    rr = np.where(is_rev[:, None], 3 - rvals, rvals)
-    qpos = np.where(is_rev[:, None], qe[:, None] - 1 - jcols,
-                    qb[:, None] + jcols)
+    # ---- oriented windows for the native call (reg2aln's qq/rr) ----
+    Wq = int(Lq[sel].max())
+    Wt = int(Lt[sel].max())
+    rev_s = is_rev[sel][:, None]
+    jq = np.arange(Wq)[None, :]
+    qpos = np.where(rev_s, qe[sel][:, None] - 1 - jq, qb[sel][:, None] + jq)
     qq = np.take_along_axis(
-        np.asarray(batch.codes)[:B], np.clip(qpos, 0, batch.codes.shape[1] - 1),
+        np.asarray(batch.codes)[sel], np.clip(qpos, 0, batch.codes.shape[1] - 1),
         axis=1,
-    ).astype(np.int16)
-    inwin = jcols < L[:, None]
-    mism = inwin & ((qq != rr) | (qq > 3))
-    nm = mism.sum(axis=1)
+    ).astype(np.uint8)
+    jt = np.arange(Wt)[None, :]
+    rstart = np.where(is_rev[sel], n - re[sel], rb[sel])
+    rpos = np.clip(rstart[:, None] + jt, 0, l_pac - 1)
+    rvals = np.asarray(idx.pac)[rpos]
+    rr = np.where(rev_s, 3 - rvals, rvals).astype(np.uint8)
+    clip5 = np.where(is_rev, lens - qe, qb)
+    clip3 = np.where(is_rev, qb, lens - qe)
+
+    mat = fill_scmat(a, b)
+    cigars, mds, nm_s, lead_d_s, rcons_s, status = reg2aln1_batch(
+        qq, rr, Lq[sel], Lt[sel], truesc[sel], w_reg[sel],
+        clip5[sel], clip3[sel], mat,
+        opt.o_del, opt.e_del, opt.o_ins, opt.e_ins, a, opt.bandwidth,
+    )
+    if (status != 0).any():  # native buffer overflow: per-read fallback
+        fast[sel[status != 0]] = False
+
+    nm = np.zeros(B, np.int64)
+    lead_d = np.zeros(B, np.int64)
+    ref_consumed = np.zeros(B, np.int64)
+    nm[sel] = nm_s
+    lead_d[sel] = lead_d_s
+    ref_consumed[sel] = rcons_s
+    cig_all: list[str] = [""] * B
+    md_all: list[str] = [""] * B
+    for k, row in enumerate(sel.tolist()):
+        cig_all[row] = cigars[k]
+        md_all[row] = mds[k]
 
     # ---- MAPQ (approx_mapq with sub=csub=0, sub_n=0) ----
     sub = float(opt.min_seed_len * a)
-    lmax = L.astype(np.float64)  # qe-qb == re-rb
+    lmax = np.maximum(Lq, Lt).astype(np.float64)
     identity = 1.0 - (lmax * a - score) / (a + b) / np.maximum(lmax, 1)
     tmp = np.where(lmax < 50, 1.0, np.log(50) / np.log(np.maximum(lmax, 2)))
     tmp *= identity * identity
@@ -237,46 +268,27 @@ def fast_fields(
     mapq = np.where(sub >= score, 0, mapq)
     mapq = np.where(score == 0, 0, mapq)
 
-    # ---- position / rid ----
-    pos = np.where(is_rev, n - re, rb)
+    # ---- position / rid (after the leading-D squeeze shift) ----
+    pos = np.where(is_rev, n - re, rb) + lead_d
     rid = np.searchsorted(np.asarray(idx.ref_offsets), pos, side="right") - 1
     local = pos - np.asarray(idx.ref_offsets)[rid]
-    clip5 = np.where(is_rev, lens - qe, qb)
-    clip3 = np.where(is_rev, qb, lens - qe)
-    f.update(is_rev=is_rev, mism=mism, rr=rr, nm=nm, mapq=mapq, rid=rid,
-             local=local, clip5=clip5, clip3=clip3)
+    f.update(is_rev=is_rev, nm=nm, mapq=mapq, rid=rid, local=local,
+             clip5=clip5, clip3=clip3, ref_consumed=ref_consumed,
+             cigar=cig_all, md=md_all)
     return f
-
-
-_MD_BASE = "ACGTN"
 
 
 def fast_hit(idx: FMIndex, f: dict, i: int, name: str,
              query_id: int | None) -> Hit:
-    """Assemble the Hit for fast row ``i`` (MD walk over the few
-    mismatch columns; all-M CIGAR plus soft clips)."""
-    Li = int(f["L"][i])
-    cols = np.flatnonzero(f["mism"][i, :Li])
-    md: list[str] = []
-    prevj = -1
-    for j in cols:
-        md.append(str(int(j) - prevj - 1))
-        md.append(_MD_BASE[min(int(f["rr"][i, j]), 4)])
-        prevj = int(j)
-    md.append(str(Li - prevj - 1))
-    cigar = ""
-    if f["clip5"][i]:
-        cigar += f"{int(f['clip5'][i])}S"
-    cigar += f"{Li}M"
-    if f["clip3"][i]:
-        cigar += f"{int(f['clip3'][i])}S"
+    """Assemble the Hit for single-region row ``i`` from the vectorized
+    fields (CIGAR/MD strings come prebuilt from the native batch)."""
     rid = int(f["rid"][i])
     local = int(f["local"][i])
     return Hit(
         ref_id=int(idx.ref_ids[rid]) if len(idx.ref_ids) else rid,
         ref_name=idx.ref_names[rid],
         ref_begin=local,
-        ref_end=local + Li,
+        ref_end=local + int(f["ref_consumed"][i]),
         query_id=query_id,
         query_name=name,
         query_begin=int(f["qb"][i]),
@@ -284,11 +296,11 @@ def fast_hit(idx: FMIndex, f: dict, i: int, name: str,
         is_primary=True,
         is_secondary=False,
         is_reverse=bool(f["is_rev"][i]),
-        cigar=cigar,
+        cigar=f["cigar"][i],
         score=int(f["score"][i]),
         mapq=int(f["mapq"][i]),
         nm=int(f["nm"][i]),
-        md="".join(md),
+        md=f["md"][i],
         rid=rid,
     )
 
@@ -300,14 +312,45 @@ def _finalize_fast(
     f = fast_fields(idx, opt, batch, out, frac_rep)
     fast = f["fast"]
     results: list[ReadResult | None] = [None] * len(batch.names)
-    for i in np.flatnonzero(fast):
-        name = batch.names[i]
-        if f["score"][i] < opt.min_score:
+    if not fast.any():
+        return fast, results
+    # bulk-pull columns to Python scalars once; per-row numpy indexing
+    # costs ~1 us/field and dominates at batch scale
+    rows = np.flatnonzero(fast)
+    ref_names = idx.ref_names
+    ref_ids = idx.ref_ids.tolist() if len(idx.ref_ids) else None
+    cols = {k: f[k][rows].tolist() for k in (
+        "rid", "local", "ref_consumed", "qb", "qe", "is_rev", "score",
+        "mapq", "nm")}
+    cigars, mds = f["cigar"], f["md"]
+    min_score = opt.min_score
+    names = batch.names
+    for k, i in enumerate(rows.tolist()):
+        name = names[i]
+        if cols["score"][k] < min_score:
             results[i] = ReadResult(query_name=name, hits=[])
             continue
-        results[i] = ReadResult(query_name=name, hits=[
-            fast_hit(idx, f, i, name, int(i) if with_query_ids else None)
-        ])
+        rid = cols["rid"][k]
+        local = cols["local"][k]
+        results[i] = ReadResult(query_name=name, hits=[Hit(
+            ref_id=ref_ids[rid] if ref_ids is not None else rid,
+            ref_name=ref_names[rid],
+            ref_begin=local,
+            ref_end=local + cols["ref_consumed"][k],
+            query_id=i if with_query_ids else None,
+            query_name=name,
+            query_begin=cols["qb"][k],
+            query_end=cols["qe"][k],
+            is_primary=True,
+            is_secondary=False,
+            is_reverse=bool(cols["is_rev"][k]),
+            cigar=cigars[i],
+            score=cols["score"][k],
+            mapq=cols["mapq"][k],
+            nm=cols["nm"][k],
+            md=mds[i],
+            rid=rid,
+        )])
     return fast, results
 
 

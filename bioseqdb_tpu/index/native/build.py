@@ -17,7 +17,7 @@ import subprocess
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRCS = [os.path.join(_DIR, f) for f in ("sais.cpp", "ksw.cpp")]
+_SRCS = [os.path.join(_DIR, f) for f in ("sais.cpp", "ksw.cpp", "finalize1.cpp")]
 _lib = None
 
 
@@ -37,7 +37,8 @@ def get_lib() -> ctypes.CDLL:
     if not os.path.exists(path):
         tmp = path + f".tmp.{os.getpid()}"
         subprocess.run(
-            ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-o", tmp, *_SRCS],
+            ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-fopenmp",
+             "-o", tmp, *_SRCS],
             check=True,
             capture_output=True,
         )
@@ -64,6 +65,17 @@ def get_lib() -> ctypes.CDLL:
         ctypes.c_int32, ctypes.POINTER(ctypes.c_uint32),
         ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
     ]
+    lib.reg2aln1_batch_c.restype = None
+    lib.reg2aln1_batch_c.argtypes = [
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+    ] + [ctypes.POINTER(ctypes.c_int32)] * 6 + [
+        ctypes.POINTER(ctypes.c_int8),
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_char_p, ctypes.c_int64,
+    ] + [ctypes.POINTER(ctypes.c_int32)] * 6
     lib.ksw_local_c.restype = ctypes.c_int32
     lib.ksw_local_c.argtypes = [
         ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8),
@@ -98,6 +110,49 @@ def ksw_global_native(query, target, mat, o_del, e_del, o_ins, e_ins, w):
     )
     ops = "MID"
     return int(score), [(int(c) >> 4, ops[int(c) & 0xF]) for c in cig[: n.value]]
+
+
+_I32P = ctypes.POINTER(ctypes.c_int32)
+
+
+def reg2aln1_batch(qq, rr, Lq, Lt, truesc, w_reg, clip5, clip3, mat,
+                   o_del, e_del, o_ins, e_ins, a, bw):
+    """Batched single-region reg2aln tail (native, OpenMP over rows).
+
+    ``qq``/``rr``: (n, Wq)/(n, Wt) uint8 oriented query/target windows.
+    Returns (cigars, mds, nm, lead_d, ref_consumed, status) where the
+    strings are Python str lists and status!=0 rows must fall back to
+    the per-read path.
+    """
+    lib = get_lib()
+    n = qq.shape[0]
+    qq = np.ascontiguousarray(qq, dtype=np.uint8)
+    rr = np.ascontiguousarray(rr, dtype=np.uint8)
+    m = np.ascontiguousarray(mat, dtype=np.int8)
+    ints = [np.ascontiguousarray(x, dtype=np.int32)
+            for x in (Lq, Lt, truesc, w_reg, clip5, clip3)]
+    stride = 8 * (qq.shape[1] + rr.shape[1]) + 128
+    text = np.empty(n * stride, dtype=np.uint8)
+    outs = [np.zeros(n, dtype=np.int32) for _ in range(6)]
+    lib.reg2aln1_batch_c(
+        n,
+        qq.ctypes.data_as(_U8P), qq.strides[0],
+        rr.ctypes.data_as(_U8P), rr.strides[0],
+        *[x.ctypes.data_as(_I32P) for x in ints],
+        m.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        int(o_del), int(e_del), int(o_ins), int(e_ins), int(a), int(bw),
+        text.ctypes.data_as(ctypes.c_char_p), stride,
+        *[o.ctypes.data_as(_I32P) for o in outs],
+    )
+    cig_len, md_len, nm, lead_d, ref_consumed, status = outs
+    blob = text.tobytes()
+    cl, ml = cig_len.tolist(), md_len.tolist()
+    cigars, mds = [], []
+    for i in range(n):
+        off = i * stride
+        cigars.append(blob[off : off + cl[i]].decode("ascii"))
+        mds.append(blob[off + cl[i] : off + cl[i] + ml[i]].decode("ascii"))
+    return cigars, mds, nm, lead_d, ref_consumed, status
 
 
 def ksw_local_native(query, target, mat, o_del, e_del, o_ins, e_ins):
