@@ -86,10 +86,12 @@ def bench_exact(jax, idx, genome, batch=16384, iters=5):
     fm = kfm.FMDevice.from_host(idx)
     codes = jnp.asarray(rb.codes, jnp.int32)
     lens = jnp.asarray(rb.lens, jnp.int32)
-    out = jax.device_get(exact_align_step(fm, codes, lens, 4))
+    out = jax.device_get(exact_align_step(fm, codes, lens, 4,
+                                          sa_interval=idx.sa_interval))
     t0 = time.time()
     for _ in range(iters):
-        out = jax.device_get(exact_align_step(fm, codes, lens, 4))
+        out = jax.device_get(exact_align_step(fm, codes, lens, 4,
+                                              sa_interval=idx.sa_interval))
     dt = time.time() - t0
     n_hits = np.asarray(out["n_hits"])[: rb.n]
     assert (n_hits >= 1).all()

@@ -30,8 +30,9 @@ from bioseqdb_tpu.io.batch import ReadBatch, pack_reads
 from bioseqdb_tpu.kernels import fm as kfm
 
 
-@functools.partial(jax.jit, static_argnames=("max_hits",))
-def exact_align_step(fm: kfm.FMDevice, codes, lens, max_hits: int):
+@functools.partial(jax.jit, static_argnames=("max_hits", "sa_interval"))
+def exact_align_step(fm: kfm.FMDevice, codes, lens, max_hits: int,
+                     sa_interval: int = 32):
     """Jitted exact-match alignment of one read batch.
 
     codes: int32[B, W], lens: int32[B]. Returns per-read hit arrays of
@@ -43,7 +44,7 @@ def exact_align_step(fm: kfm.FMDevice, codes, lens, max_hits: int):
     h = jnp.arange(max_hits, dtype=jnp.int32)[None, :]
     valid = h < jnp.minimum(n_hits, max_hits)[:, None]
     ranks = jnp.where(valid, lo[:, None] + h, 1)  # 1 = safe dummy rank
-    pos = kfm.sa_resolve(fm, ranks)
+    pos = kfm.sa_resolve(fm, ranks, sa_interval)
     fwd, rev = kfm.depos(fm, pos, lens[:, None])
     rid = kfm.rid_of(fm, fwd)
     ref_off = fm.ref_offsets[rid]
@@ -196,7 +197,8 @@ class Aligner:
             if max_hits is None:
                 max_hits = min(self.options.resolve_max_occ(self.index.n_refs), 64)
             codes, lens = self._put_batch(batch)
-            out = exact_align_step(self.fm, codes, lens, max_hits)
+            out = exact_align_step(self.fm, codes, lens, max_hits,
+                                   sa_interval=self.index.sa_interval)
             return self._to_results(batch, jax.device_get(out), with_query_ids)
         return self._align_full(batch, with_query_ids)
 

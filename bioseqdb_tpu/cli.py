@@ -208,7 +208,7 @@ def main(argv=None) -> int:
     pi = sub.add_parser("index", help="build an FM-index from FASTA")
     pi.add_argument("fasta")
     pi.add_argument("-o", "--output", required=True)
-    pi.add_argument("--sa-interval", type=int, default=32)
+    pi.add_argument("--sa-interval", type=int, default=None)
     pi.set_defaults(fn=_cmd_index)
 
     pa = sub.add_parser("align", help="align FASTA/FASTQ reads against an index")

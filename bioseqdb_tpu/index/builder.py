@@ -18,7 +18,23 @@ from bioseqdb_tpu.index.fmindex import FMIndex, build_fmindex_from_codes
 from bioseqdb_tpu.seq.codec import CHAR_OF, Sequence
 
 
-def build_index(refs, sa_interval: int = 32, alt_names=None) -> FMIndex:
+def adaptive_sa_interval(doubled_len: int) -> int:
+    """SA sample interval by doubled-text size.
+
+    bwa hardcodes 32 (bwt_cal_sa(bwt, 32), bwa.cpp:113) because its
+    on-disk .sa size mattered; on TPU the sampled SA is an in-HBM int32
+    array and the resolve kernel's LF walk is a fixed ``interval - 1``
+    trip loop of two row-gathers per lane — so a denser sample trades
+    cheap HBM for a ~(interval_a-1)/(interval_b-1) resolve speedup.
+    Resolution results are interval-independent (property-tested)."""
+    if doubled_len < 1 << 28:   # <= chr20-class: 4 B/base extra
+        return 4
+    if doubled_len < 1 << 31:   # still int32 ranks
+        return 8
+    return 32                   # GRCh38-class (int64 ranks): bwa's 32
+
+
+def build_index(refs, sa_interval: int | None = None, alt_names=None) -> FMIndex:
     """Build an FMIndex from an iterable of references.
 
     Each item may be a ``Sequence``, a ``str``, ``(name, seq)``, or
@@ -26,7 +42,8 @@ def build_index(refs, sa_interval: int = 32, alt_names=None) -> FMIndex:
     passes ids through from SQL, extension.cpp:215). ``alt_names`` marks
     references as ALT contigs (the role of bwa's .alt file): ALT hits
     never shadow primary-reference hits in chain filtering or primary
-    marking.
+    marking. ``sa_interval=None`` picks the SA sample density by genome
+    size (adaptive_sa_interval).
     """
     pac_parts: list[np.ndarray] = []
     ref_ids: list[int] = []
@@ -67,6 +84,8 @@ def build_index(refs, sa_interval: int = 32, alt_names=None) -> FMIndex:
         raise ValueError("cannot build an index from zero reference sequences")
 
     pac = np.concatenate(pac_parts) if pac_parts else np.zeros(0, np.uint8)
+    if sa_interval is None:
+        sa_interval = adaptive_sa_interval(2 * len(pac))
     alt_set = set(alt_names or ())
     return build_fmindex_from_codes(
         pac,
@@ -82,7 +101,7 @@ def build_index(refs, sa_interval: int = 32, alt_names=None) -> FMIndex:
     )
 
 
-def build_index_from_fasta(path, sa_interval: int = 32) -> FMIndex:
+def build_index_from_fasta(path, sa_interval: int | None = None) -> FMIndex:
     from bioseqdb_tpu.io.fasta import read_fasta
 
     return build_index(

@@ -80,7 +80,8 @@ def main():
         log(f"  cap={cap}: {t_c*1e3:.0f} ms  ovf={ovf}")
 
     # ---- downstream stages ----
-    seeds_kw = dict(max_occ=opt.resolve_max_occ(idx.n_refs), max_seeds=64)
+    seeds_kw = dict(max_occ=opt.resolve_max_occ(idx.n_refs), max_seeds=64,
+                    sa_interval=idx.sa_interval)
     t_res, seeds = timed(jax, resolve_seeds, fm, mems["mems"], mems["n_mem"], **seeds_kw)
     log(f"resolve: {t_res*1e3:.0f} ms")
     t_ch, chains = timed(jax, chain_seeds, fm, seeds, max_chains=16,
