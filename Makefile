@@ -11,9 +11,10 @@ test:
 # Build the native library under ASan+UBSan and run the native test
 # driver against it (SA-IS vs random oracles + ksw_global cases).
 native-sanitize:
-	g++ -O1 -g -std=c++17 -fsanitize=address,undefined -fno-sanitize-recover=all \
+	g++ -O1 -g -std=c++17 -fopenmp -fsanitize=address,undefined \
+	    -fno-sanitize-recover=all \
 	    -o /tmp/native_sanitize_check $(NATIVE)/sais.cpp $(NATIVE)/ksw.cpp \
-	    tools/native_check.cpp
+	    $(NATIVE)/finalize1.cpp tools/native_check.cpp
 	/tmp/native_sanitize_check
 
 clean:

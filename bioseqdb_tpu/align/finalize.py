@@ -354,14 +354,25 @@ def _finalize_fast(
     return fast, results
 
 
+def frac_rep_of_out(out: dict, lens: np.ndarray, max_occ: int) -> np.ndarray:
+    """frac_rep per read from the pipeline output: the device-computed
+    l_rep column when present (default), else the host reduction over
+    the raw mems tables (keep_mems runs)."""
+    lens = np.asarray(lens)
+    if out.get("l_rep") is not None:
+        l_rep = np.asarray(out["l_rep"])[: len(lens)].astype(np.int64)
+        return np.where(lens > 0, l_rep / np.maximum(lens, 1), 0.0)
+    return frac_rep_batch(np.asarray(out["mems"]), np.asarray(out["n_mem"]),
+                          max_occ, lens)
+
+
 def finalize_batch(
     idx: FMIndex, opt: AlignOptions, batch: ReadBatch, out: dict,
     with_query_ids: bool = True, all_hits: bool = True,
 ) -> list[ReadResult]:
     mat = fill_scmat(opt.match_score, opt.mismatch_penalty)
     max_occ = opt.resolve_max_occ(idx.n_refs)
-    frac_all = frac_rep_batch(np.asarray(out["mems"]), np.asarray(out["n_mem"]),
-                              max_occ, np.asarray(batch.lens))
+    frac_all = frac_rep_of_out(out, batch.lens, max_occ)
     fast, results = _finalize_fast(idx, opt, batch, out, frac_all,
                                    with_query_ids)
     for i, name in enumerate(batch.names):

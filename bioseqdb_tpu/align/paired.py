@@ -274,16 +274,14 @@ def finalize_pairs(
     runs without building region lists or calling reg2aln: vector window
     math + a light per-pair assembly. Everything else takes the full
     per-read path. Pinned equal by tests/test_paired.py."""
-    from bioseqdb_tpu.align.finalize import fast_fields, frac_rep_batch
+    from bioseqdb_tpu.align.finalize import fast_fields, frac_rep_of_out
 
     mat = fill_scmat(opt.match_score, opt.mismatch_penalty)
     max_occ = opt.resolve_max_occ(idx.n_refs)
     n = min(batch1.n, batch2.n)
 
-    frac1 = frac_rep_batch(np.asarray(out1["mems"]), np.asarray(out1["n_mem"]),
-                           max_occ, np.asarray(batch1.lens))
-    frac2 = frac_rep_batch(np.asarray(out2["mems"]), np.asarray(out2["n_mem"]),
-                           max_occ, np.asarray(batch2.lens))
+    frac1 = frac_rep_of_out(out1, batch1.lens, max_occ)
+    frac2 = frac_rep_of_out(out2, batch2.lens, max_occ)
     f1 = fast_fields(idx, opt, batch1, out1, frac1)
     f2 = fast_fields(idx, opt, batch2, out2, frac2)
     cand = f1["fast"][:n] & f2["fast"][:n]

@@ -71,11 +71,16 @@ def full_align_step(
     mask_level: float, chain_drop_ratio: float,
     sa_interval: int = 32,
     use_pallas_sw: bool = False,
+    keep_mems: bool = False,
 ):
     """Jitted full BWA-MEM device pipeline for one batch: SMEM seeding ->
     seed resolution -> chaining -> chain filter -> banded-SW extension.
-    Returns candidate regions + the raw seed intervals (for frac_rep)."""
-    from bioseqdb_tpu.kernels.chain import chain_seeds, filter_chains, resolve_seeds
+    Returns candidate regions + the per-read repetitive-coverage length
+    (l_rep, for frac_rep); ``keep_mems`` additionally returns the raw
+    seed-interval tables (10+ MB at B=8192 — only for tests/debugging,
+    the host finalize needs just l_rep)."""
+    from bioseqdb_tpu.kernels.chain import (
+        chain_seeds, filter_chains, l_rep_device, resolve_seeds)
     from bioseqdb_tpu.kernels.extend import extend_all
     from bioseqdb_tpu.kernels.seed import collect_seeds_device
 
@@ -105,10 +110,16 @@ def full_align_step(
         mems["overflow"] | seeds["overflow"] | chains["overflow"]
         | ext["overflow"]
     )
-    return dict(
-        regs=ext["regs"], n_regs=ext["n_regs"], overflow=overflow,
-        mems=mems["mems"], n_mem=mems["n_mem"],
+    regs = dict(ext["regs"])
+    regs.pop("cchain", None)  # extend-internal; the host never reads it
+    out = dict(
+        regs=regs, n_regs=ext["n_regs"], overflow=overflow,
+        l_rep=l_rep_device(mems["mems"], mems["n_mem"], max_occ=max_occ),
     )
+    if keep_mems:
+        out["mems"] = mems["mems"]
+        out["n_mem"] = mems["n_mem"]
+    return out
 
 
 @dataclass
@@ -202,9 +213,10 @@ class Aligner:
             return self._to_results(batch, jax.device_get(out), with_query_ids)
         return self._align_full(batch, with_query_ids)
 
-    def device_regions(self, batch: ReadBatch):
+    def device_regions(self, batch: ReadBatch, keep_mems: bool = False):
         """Run the device pipeline only (no host finalize); returns the
-        raw region/mem arrays. Used by benchmarks and the finalizer."""
+        raw region arrays (+ seed-interval tables with ``keep_mems``).
+        Used by benchmarks and the finalizer."""
         from bioseqdb_tpu.cpu.ksw import fill_scmat
 
         opt = self.options
@@ -220,7 +232,7 @@ class Aligner:
             return full_align_step_sharded(
                 self.fms, codes, lens, mat, self.mesh, opt,
                 self.index.n_refs, data_axis=data_axis,
-                sa_interval=self.index.sa_interval,
+                sa_interval=self.index.sa_interval, keep_mems=keep_mems,
             )
         return full_align_step(
             self.fm, self.pac_dev, codes, lens, mat,
@@ -235,7 +247,7 @@ class Aligner:
             min_chain_weight=opt.min_chain_weight,
             max_chain_gap=opt.max_chain_gap,
             mask_level=opt.mask_level, chain_drop_ratio=opt.chain_drop_ratio,
-            sa_interval=self.index.sa_interval,
+            sa_interval=self.index.sa_interval, keep_mems=keep_mems,
             # the Pallas banded-SW kernel beats the XLA one on real TPUs
             # (per-block early exit); CPU runs use the XLA kernel (the
             # Pallas interpret path is far slower)

@@ -171,11 +171,13 @@ def full_align_step_sharded(
     fms: FMSharded, codes, lens, mat, mesh: Mesh, opt, n_refs: int,
     axis: str = "index", data_axis: str | None = None,
     max_seeds: int = 64, max_chains: int = 16, sa_interval: int = 32,
+    keep_mems: bool = False,
 ):
     """The full device pipeline over a (data x index) mesh: reads shard
     along ``data`` (if the mesh has that axis), tables along ``index``.
     Same outputs as pipeline.full_align_step."""
-    from bioseqdb_tpu.kernels.chain import chain_seeds, filter_chains, resolve_seeds
+    from bioseqdb_tpu.kernels.chain import (
+        chain_seeds, filter_chains, l_rep_device, resolve_seeds)
     from bioseqdb_tpu.kernels.extend import extend_all
     from bioseqdb_tpu.kernels.seed import collect_seeds_device
 
@@ -211,16 +213,25 @@ def full_align_step_sharded(
         )
         overflow = (mems["overflow"] | seeds["overflow"]
                     | chains["overflow"] | ext["overflow"])
-        return dict(regs=ext["regs"], n_regs=ext["n_regs"],
-                    overflow=overflow, mems=mems["mems"], n_mem=mems["n_mem"])
+        regs = dict(ext["regs"])
+        regs.pop("cchain", None)  # extend-internal; the host never reads it
+        out = dict(regs=regs, n_regs=ext["n_regs"],
+                   overflow=overflow,
+                   l_rep=l_rep_device(mems["mems"], mems["n_mem"],
+                                      max_occ=max_occ))
+        if keep_mems:
+            out["mems"] = mems["mems"]
+            out["n_mem"] = mems["n_mem"]
+        return out
 
     batch_spec = P(data_axis) if data_axis else P()
-    out_spec = jax.tree.map(
-        lambda _: batch_spec,
-        dict(regs=dict(rb=0, re=0, qb=0, qe=0, score=0, truesc=0, w=0,
-                       seedlen0=0, cchain=0, rid=0, seedcov=0),
-             n_regs=0, overflow=0, mems=0, n_mem=0),
-    )
+    out_skel = dict(regs=dict(rb=0, re=0, qb=0, qe=0, score=0, truesc=0, w=0,
+                              seedlen0=0, rid=0, seedcov=0),
+                    n_regs=0, overflow=0, l_rep=0)
+    if keep_mems:
+        out_skel["mems"] = 0
+        out_skel["n_mem"] = 0
+    out_spec = jax.tree.map(lambda _: batch_spec, out_skel)
     # check_vma=False: the state-machine loop carries mix replicated
     # constants with data-sharded values, which the varying-axis type
     # checker rejects even though the computation is well-defined

@@ -135,6 +135,33 @@ def resolve_seeds(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("max_occ",))
+def l_rep_device(mems: jnp.ndarray, n_mem: jnp.ndarray,
+                 max_occ: int) -> jnp.ndarray:
+    """Repetitive-coverage length per read, on device (mem_chain's l_rep:
+    union length of the query spans of seed intervals with occurrence
+    count > max_occ). Bit-equal to finalize.frac_rep_batch's numerator —
+    computing it here keeps the 10+ MB mems table out of the
+    host transfer (the host only needs this (B,) column)."""
+    B, M, _ = mems.shape
+    mm = jnp.arange(M, dtype=jnp.int32)[None, :]
+    valid = (mm < n_mem[:, None]) & (mems[:, :, 2] > max_occ)
+    start = mems[:, :, 3]
+    end = mems[:, :, 4]
+    # sort spans by start (ties safe: union length is tie-independent)
+    key = jnp.where(valid, start * 8192 + jnp.minimum(end, 8191), 0x7FFFFFFF)
+    order = jnp.argsort(key, axis=1)
+    ss = jnp.take_along_axis(start, order, axis=1)
+    ee = jnp.take_along_axis(end, order, axis=1)
+    vv = jnp.take_along_axis(valid, order, axis=1)
+    run = jax.lax.cummax(jnp.where(vv, ee, 0), axis=1)
+    prev = jnp.concatenate(
+        [jnp.zeros((B, 1), run.dtype), run[:, :-1]], axis=1)
+    contrib = jnp.where(vv, jnp.maximum(ee - jnp.maximum(ss, prev), 0), 0)
+    # the host divides by lens in float64 for bit-parity with the oracle
+    return contrib.sum(axis=1).astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("max_chains", "bandwidth", "max_chain_gap"))
 def chain_seeds(
     fm: kfm.FMDevice,

@@ -144,3 +144,27 @@ def test_indel_reads(setup):
         g[6000:6050] + "ACGTA" + g[6050:6110],  # insertion
     ]
     compare_reads(setup, reads)
+
+
+def test_l_rep_device_matches_host():
+    """Device l_rep must equal frac_rep_batch's numerator bit-for-bit
+    (MAPQ depends on it through frac_rep)."""
+    import numpy as np
+
+    from bioseqdb_tpu.align.finalize import frac_rep_batch
+    from bioseqdb_tpu.kernels.chain import l_rep_device
+
+    rng = np.random.default_rng(11)
+    B, M = 64, 24
+    mems = np.zeros((B, M, 5), np.int32)
+    n_mem = rng.integers(0, M + 1, B).astype(np.int32)
+    start = rng.integers(0, 140, (B, M))
+    length = rng.integers(1, 40, (B, M))
+    mems[:, :, 3] = start
+    mems[:, :, 4] = start + length
+    mems[:, :, 2] = rng.integers(0, 1200, (B, M))  # occ counts
+    lens = np.full(B, 150, np.int32)
+    max_occ = 500
+    want = frac_rep_batch(mems, n_mem, max_occ, lens) * 150
+    got = np.asarray(l_rep_device(mems, n_mem, max_occ=max_occ))
+    np.testing.assert_array_equal(got, np.round(want).astype(np.int64))

@@ -46,7 +46,7 @@ def test_fast_path_matches_per_read():
         reads.append(core + junk if k % 2 else junk + core)
     batch = pack_reads(reads)
     al = Aligner.build(idx, opt, mode="full")
-    out = jax.device_get(al.device_regions(batch))
+    out = jax.device_get(al.device_regions(batch, keep_mems=True))
     assert not np.asarray(out["overflow"]).any()
 
     got = finalize_batch(idx, opt, batch, out)

@@ -32,7 +32,7 @@ def main():
     batch = pack_reads(sim.reads, sim.names)
     al = Aligner.build(idx, opt, mode="full")
     t0 = time.time()
-    out = jax.device_get(al.device_regions(batch))
+    out = jax.device_get(al.device_regions(batch, keep_mems=True))
     print(f"device pipeline (cpu backend): {time.time()-t0:.1f}s")
     out = {k: np.asarray(v) if not isinstance(v, dict) else
            {kk: np.asarray(vv) for kk, vv in v.items()} for k, v in out.items()}
