@@ -28,7 +28,7 @@ def _log(*a):
     print("[bench]", *a, file=sys.stderr, flush=True)
 
 
-def bench_full(jax, idx, genome, batch_size=8192, n_batches=4):
+def bench_full(jax, idx, genome, batch_size=8192, n_batches=6):
     import numpy as np
 
     from bioseqdb_tpu.align.finalize import finalize_batch
@@ -49,6 +49,9 @@ def bench_full(jax, idx, genome, batch_size=8192, n_batches=4):
     t0 = time.time()
     out = jax.device_get(al.device_regions(batches[0]))
     _log(f"full-pipeline compile+first batch: {time.time() - t0:.1f}s")
+    # warm the host finalize path too (native lib load, numpy dispatch
+    # caches) — the metric is steady-state serving throughput
+    finalize_batch(idx, al.options, batches[0], out)
 
     # timed: overlap device compute (async dispatch) with host finalize
     t0 = time.time()
