@@ -72,6 +72,8 @@ def full_align_step(
     sa_interval: int = 32,
     use_pallas_sw: bool = False,
     keep_mems: bool = False,
+    jump_base: int = 0,
+    jump_depth: int = 0,
 ):
     """Jitted full BWA-MEM device pipeline for one batch: SMEM seeding ->
     seed resolution -> chaining -> chain filter -> banded-SW extension.
@@ -87,6 +89,7 @@ def full_align_step(
     mems = collect_seeds_device(
         fm, codes, lens, min_seed_len=min_seed_len, split_len=split_len,
         split_width=split_width, max_mem_intv=max_mem_intv,
+        jump_base=jump_base, jump_depth=jump_depth,
     )
     seeds = resolve_seeds(fm, mems["mems"], mems["n_mem"],
                           max_occ=max_occ, max_seeds=max_seeds,
@@ -139,6 +142,8 @@ class Aligner:
     pac_dev: object = None
     mesh: object = None
     fms: object = None    # FMSharded when the mesh has an "index" axis
+    jump_base: int = 0    # r3 prefix-jump table base block (0 = off)
+    jump_depth: int = 0
 
     @classmethod
     def build(cls, index: FMIndex, options: AlignOptions | None = None,
@@ -165,21 +170,28 @@ class Aligner:
             from bioseqdb_tpu.dist.mesh import replicated
 
             device = replicated(mesh)
+        fm = kfm.FMDevice.from_host(index, device=device)
+        jump_base = jump_depth = 0
         if mode == "full":
             from bioseqdb_tpu.kernels.extend import pack_doubled_rows
+            from bioseqdb_tpu.kernels.seed import build_r3_jump
 
             pac_dev = jax.device_put(
                 jnp.asarray(pack_doubled_rows(np.asarray(index.pac))), device
             )
+            if __import__("os").environ.get("BST_NO_R3_JUMP") != "1":
+                fm, jump_base, jump_depth = build_r3_jump(fm)
         else:
             pac_dev = None
         return cls(
             index=index,
             options=options or AlignOptions(),
-            fm=kfm.FMDevice.from_host(index, device=device),
+            fm=fm,
             mode=mode,
             pac_dev=pac_dev,
             mesh=mesh,
+            jump_base=jump_base,
+            jump_depth=jump_depth,
         )
 
     def _put_batch(self, batch: ReadBatch):
@@ -248,6 +260,7 @@ class Aligner:
             max_chain_gap=opt.max_chain_gap,
             mask_level=opt.mask_level, chain_drop_ratio=opt.chain_drop_ratio,
             sa_interval=self.index.sa_interval, keep_mems=keep_mems,
+            jump_base=self.jump_base, jump_depth=self.jump_depth,
             # the Pallas banded-SW kernel beats the XLA one on real TPUs
             # (per-block early exit); CPU runs use the XLA kernel (the
             # Pallas interpret path is far slower)

@@ -312,11 +312,16 @@ def extend_all(
         if use_pallas_sw:
             from bioseqdb_tpu.kernels.sw_pallas import sw_extend_batch_pallas
 
+            # block_lanes=128: measured sweep on v5e (tools/ab_sw_pallas)
+            # 8/16/32/64/128/256/512 -> 292/178/114/82/58/110/108 ms; 128
+            # fills the 8x128 VPU lanes per sublane row, larger blocks
+            # lose the per-block early exit
             return sw_extend_batch_pallas(
                 qbuf, qn, tbuf, tn, w, h0,
                 match_score=match_score, mismatch_penalty=mismatch_penalty,
                 o_del=o_del, e_del=e_del, o_ins=o_ins, e_ins=e_ins,
                 end_bonus=bonus, zdrop=zdrop, max_qlen=max_qlen,
+                block_lanes=128,
             )
         return sw_extend_batch(qbuf, qn, tbuf, tn, mat, o_del, e_del,
                                o_ins, e_ins, w, bonus, zdrop, h0, max_qlen)

@@ -34,6 +34,9 @@ PH_FWD = 1     # forward pass of smem1
 PH_BWD = 2     # backward pass of smem1
 PH_R3 = 3      # bwt_seed_strategy1 forward scan
 PH_DONE = 4
+PH_R3J = 5     # round-3 jump pending: fetch the depth-J prefix interval
+
+JUMP_DEPTH = 8  # r3 jump table depth (4^J keys)
 
 # rounds
 RD_SMEM = 0    # round 1: SMEMs
@@ -41,10 +44,89 @@ RD_RESEED = 1  # round 2: re-seed long low-occ SMEMs
 RD_LAST = 2    # round 3: LAST-like seeds
 
 
+@functools.partial(jax.jit, static_argnames=("depth",))
+def _r3_jump_rows(fm: kfm.FMDevice, depth: int = JUMP_DEPTH) -> jnp.ndarray:
+    """Bi-intervals of every length-``depth`` pattern, encoded as
+    synthetic Occ-block rows (int32[2*4^depth, 12]).
+
+    Appended after the real blocks (build_r3_jump), key ``key``'s
+    interval is recovered through the seeding loop's ONE shared fused
+    gather: a rank query at block ``base + 2*key`` offset 0 returns the
+    row's checkpoint columns verbatim (in-block count 0; the appended
+    zero major-checkpoint row contributes 0), so fmd_extend_back's
+    ``k4 - (L2+1)`` IS row A and ``s4`` IS row B - row A. Ranks are
+    30-bit lo/hi split so the scheme survives int64 (>2^31) indexes
+    whose values don't fit the int32 block table."""
+    K = 4 ** depth
+    keys = jnp.arange(K, dtype=jnp.int32)
+    c0 = keys & 3
+    k = fm.L2[c0] + 1
+    l = fm.L2[3 - c0] + 1
+    s = fm.L2[c0 + 1] - fm.L2[c0]
+
+    def step(t, kls):
+        k, l, s = kls
+        ct = ((keys >> (2 * t)) & 3).astype(jnp.int32)
+        k4, l4, s4 = kfm.fmd_extend_fwd(fm, k, l, s)
+        take = lambda m: jnp.take_along_axis(m, ct[:, None], axis=1)[:, 0]
+        return take(k4), take(l4), take(s4)
+
+    k, l, s = jax.lax.fori_loop(1, depth, step, (k, l, s))
+    lo = lambda v: (v & 0x3FFFFFFF).astype(jnp.int32)
+    hi = lambda v: (v >> 30).astype(jnp.int32)
+    zeros = jnp.zeros((K, 8), jnp.int32)
+    row_a = jnp.concatenate(
+        [jnp.stack([lo(k), hi(k), lo(l), hi(l)], axis=1), zeros], axis=1)
+    row_b = jnp.concatenate(
+        [jnp.stack([lo(k) + lo(s), hi(k) + hi(s), lo(l), hi(l)], axis=1),
+         zeros], axis=1)
+    return jnp.stack([row_a, row_b], axis=1).reshape(2 * K, 12)
+
+
+# v5e gathers run ~2x slower once the table leaves a fast tier
+# (measured on the seeding loop: a 5.1 MB extended table gathers at the
+# small-table rate, 6.3 MB does not). The jump must not push a small
+# table over the cliff; tables already clearly past it pay nothing
+# extra for the full-depth extension.
+_FAST_TIER_BYTES = int(5.2 * (1 << 20))
+
+
+def build_r3_jump(fm: kfm.FMDevice,
+                  depth: int | None = None) -> tuple[kfm.FMDevice, int, int]:
+    """Extend an FMDevice with the r3 jump table; returns
+    (fm', base, depth).
+
+    ``base`` is the first synthetic block row (64-aligned so extended
+    rows resolve to the appended all-zero major checkpoint); 0 means the
+    jump is disabled (rank range exhausted, or the extension would push
+    a fast-tier table over the gather cliff). ``depth`` None picks the
+    largest profitable depth for the table size."""
+    n_blocks = int(fm.blocks.shape[0])
+    base = -(-n_blocks // kfm.MAJOR_BLOCKS) * kfm.MAJOR_BLOCKS
+    if depth is None:
+        if n_blocks * 48 >= _FAST_TIER_BYTES:
+            depth = JUMP_DEPTH  # already past the cliff: maximize skips
+        elif (base + 2 * (4 ** 6)) * 48 <= _FAST_TIER_BYTES:
+            depth = 6           # fits under the cliff
+        else:
+            return fm, 0, 0     # any extension would cross it: no jump
+    K = 4 ** depth
+    max_rank = (base + 2 * K) * kfm.OCC_BLOCK + 2
+    if fm.rank_dtype == jnp.int32 and max_rank >= 2**31:
+        return fm, 0, 0
+    rows = _r3_jump_rows(fm, depth)
+    pad = jnp.zeros((base - n_blocks, 12), jnp.int32)
+    blocks_ext = jnp.concatenate([fm.blocks, pad, rows], axis=0)
+    majors_ext = jnp.concatenate(
+        [fm.occ_majors, jnp.zeros((1, 4), fm.occ_majors.dtype)], axis=0)
+    return fm._replace(blocks=blocks_ext, occ_majors=majors_ext), base, depth
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("min_seed_len", "split_width", "max_mem_intv", "split_len",
-                     "max_cand", "max_mem", "max_iters", "shard_axis"),
+                     "max_cand", "max_mem", "max_iters", "shard_axis",
+                     "jump_base", "jump_depth"),
 )
 def collect_seeds_device(
     fm: kfm.FMDevice,
@@ -58,6 +140,8 @@ def collect_seeds_device(
     max_mem: int = 48,
     max_iters: int = 0,
     shard_axis: str | None = None,
+    jump_base: int = 0,
+    jump_depth: int = JUMP_DEPTH,
 ):
     """Run all three seeding rounds for a batch of reads.
 
@@ -65,6 +149,12 @@ def collect_seeds_device(
     pathological repeat-heavy lanes otherwise stretch the whole batch's
     while_loop tail (every lane pays for the slowest). Capped lanes set
     ``overflow`` and fall back to the host oracle.
+
+    ``jump_base`` > 0 enables the round-3 depth-8 jump: the fm must be
+    build_r3_jump-extended, and each bwt_seed_strategy1 scan then starts
+    at depth 8 via one prefix-table fetch instead of 8 stepwise
+    extensions (exact-equivalent: stops before depth min_seed_len are
+    impossible, so the skipped states are unobservable).
 
     Returns dict with
       mems:  int32[B, max_mem, 5] — (k, l, s, start, end) per seed
@@ -77,6 +167,10 @@ def collect_seeds_device(
     rdt = fm.seq_len.dtype  # rank dtype (int64 for >2^31 indexes)
     if max_iters <= 0:
         max_iters = 10 * W + 256
+    J = jump_depth
+    # stepwise r3 cannot stop before depth min_seed_len, so the jump is
+    # only exact-equivalent when it skips strictly shorter depths
+    jump = jump_base > 0 and J > 0 and min_seed_len >= J and W > J
 
     st = dict(
         phase=jnp.zeros(B, i32),
@@ -110,6 +204,21 @@ def collect_seeds_device(
         codes=codes,
         lens=lens,
     )
+    if jump:
+        # r3 jump keys per position: key(x) = sum_t q[x+t] << 2t over the
+        # next J bases. Packed with the base code into one int32
+        # (code | (key+1) << 3) so the pivot's existing column pick
+        # decodes both — the jump must add no per-iteration pick.
+        cpad = jnp.pad(codes, ((0, 0), (0, J)), constant_values=4)
+        key = jnp.zeros((B, W), i32)
+        clean = jnp.ones((B, W), jnp.bool_)
+        for t in range(J):
+            win = cpad[:, t : t + W]
+            key = key + (jnp.where(win < 4, win, 0) << (2 * t)).astype(i32)
+            clean = clean & (win < 4)
+        st["jpack"] = codes.astype(i32) | (
+            (jnp.where(clean, key, -1) + 1) << 3)
+        st["jkey_pend"] = jnp.zeros(B, i32)  # key latched at pivot time
     # lanes with no bases never run
     st["phase"] = jnp.where(lens > 0, PH_PIVOT, PH_DONE)
 
@@ -174,8 +283,17 @@ def collect_seeds_device(
         # unify: fwd == back on the (l, k) swap + code flip
         a = jnp.where(in_bwd, src_k, src_l)
         b = jnp.where(in_bwd, src_l, src_k)
-        k4, l4, s4 = kfm.fmd_extend_back(fm, a, b, jnp.maximum(src_s, 0),
-                                         axis=shard_axis)
+        s_eff = jnp.maximum(src_s, 0)
+        if jump:
+            # r3-jump lanes redirect their two gather slots at the prefix
+            # table: rank A hits synthetic block base+2*key at offset 0,
+            # A + 128 the next row (_r3_jump_rows layout)
+            in_r3j = phase == PH_R3J
+            A = ((jnp.asarray(jump_base, rdt) + 2 * st["jkey_pend"])
+                 * kfm.OCC_BLOCK + 1).astype(rdt)
+            a = jnp.where(in_r3j, A, a)
+            s_eff = jnp.where(in_r3j, kfm.OCC_BLOCK, s_eff)
+        k4, l4, s4 = kfm.fmd_extend_back(fm, a, b, s_eff, axis=shard_axis)
         c_raw = qi
         c_ext = jnp.where(in_bwd, c_raw, 3 - c_raw)
         c_sel = jnp.clip(c_ext, 0, 3)
@@ -184,6 +302,20 @@ def collect_seeds_device(
         ok_s = dense.pick(s4, c_sel, axis=1)
 
         new = dict(st)
+
+        # ============== PH_R3J: decode the prefix row ==============
+        if jump:
+            # fmd_extend_back returns row A as k4 - (L2+1) and
+            # row B - row A as s4; 30-bit lo/hi words reassemble ranks
+            o1 = k4 - (fm.L2[:4] + 1)
+            k8 = o1[:, 0] + (o1[:, 1] << 30)
+            l8 = o1[:, 2] + (o1[:, 3] << 30)
+            s8 = s4[:, 0].astype(rdt) + (s4[:, 1].astype(rdt) << 30)
+            new["ik"] = jnp.where(
+                in_r3j[:, None], jnp.stack([k8, l8, s8], axis=1), new["ik"]
+            )
+            new["i"] = jnp.where(in_r3j, x + J, new["i"])
+            new["phase"] = jnp.where(in_r3j, PH_R3, new["phase"])
 
         # ============== PH_PIVOT ==============
         at_pivot = phase == PH_PIVOT
@@ -239,10 +371,23 @@ def collect_seeds_device(
         # round-3 pivot handling (one pick: go3 lanes leave x unchanged,
         # so the post-advance code equals the ambiguity-check code)
         p3 = at_r3p & ~r3_off & (max_mem_intv > 0)
-        q3 = qat(new["x"])
+        if jump:
+            v3 = dense.pick(st["jpack"], jnp.clip(new["x"], 0, W - 1), axis=1)
+            q3 = v3 & 7
+            jk3 = (v3 >> 3) - 1
+        else:
+            q3 = qat(new["x"])
         amb3 = p3 & (q3 >= 4)
         new["x"] = jnp.where(amb3, new["x"] + 1, new["x"])
         go3 = p3 & ~amb3
+        if jump:
+            # start at depth J via the prefix table when the window is
+            # clean and inside the read (PH_R3J fetches it next step)
+            jump3 = go3 & (jk3 >= 0) & (new["x"] + J <= L)
+            go3 = go3 & ~jump3
+            new["phase"] = jnp.where(jump3, PH_R3J, new["phase"])
+            new["jkey_pend"] = jnp.where(jump3, jnp.maximum(jk3, 0),
+                                         st["jkey_pend"])
         new["ik"] = jnp.where(go3[:, None], set_intv(q3), new["ik"])
         new["i"] = jnp.where(go3, new["x"] + 1, new["i"])
         new["phase"] = jnp.where(go3, PH_R3, new["phase"])

@@ -30,7 +30,7 @@ def enc(s):
     return LUT[np.frombuffer(s.encode(), np.uint8)]
 
 
-def device_seeds(fm, reads_codes, opt, W=160):
+def device_seeds(fm, reads_codes, opt, W=160, jump_base=0, jump_depth=8):
     B = len(reads_codes)
     codes = np.full((B, W), 4, np.int32)
     lens = np.zeros(B, np.int32)
@@ -42,6 +42,7 @@ def device_seeds(fm, reads_codes, opt, W=160):
         fm, jnp.asarray(codes), jnp.asarray(lens),
         min_seed_len=opt.min_seed_len, split_len=split_len,
         split_width=opt.split_width, max_mem_intv=opt.max_mem_intv,
+        jump_base=jump_base, jump_depth=jump_depth,
     )
     return {k: np.asarray(v) for k, v in out.items()}
 
@@ -157,3 +158,29 @@ def test_compaction_path_matches_uncompacted():
                                       np.asarray(small["mems"]))
         np.testing.assert_array_equal(np.asarray(big["overflow"])[s:s + 256],
                                       np.asarray(small["overflow"]))
+
+
+def test_r3_jump_exact_equivalence(setup):
+    """The depth-8 r3 prefix jump must be output-identical to the
+    stepwise path (mems content AND order; iters may differ)."""
+    from bioseqdb_tpu.kernels.seed import build_r3_jump
+
+    g, idx, fm = setup
+    opt = AlignOptions()
+    fm_j, base, depth = build_r3_jump(fm, depth=6)
+    assert base > 0 and depth == 6
+    sim = simulate_reads(g, 48, read_len=150, sub_rate=0.02, seed=3)
+    reads = list(sim.reads)
+    # ambiguity near pivots exercises the clean-window gate
+    reads.append(sim.reads[0][:40] + "N" + sim.reads[0][41:])
+    reads.append("N" * 10 + sim.reads[1][10:])
+    rc = [enc(r) for r in reads]
+    ref = device_seeds(fm, rc, opt)
+    got = device_seeds(fm_j, rc, opt, jump_base=base, jump_depth=depth)
+    np.testing.assert_array_equal(np.asarray(ref["n_mem"]),
+                                  np.asarray(got["n_mem"]))
+    np.testing.assert_array_equal(np.asarray(ref["mems"]),
+                                  np.asarray(got["mems"]))
+    assert not np.asarray(got["overflow"]).any()
+    # the jump must actually engage (fewer iterations)
+    assert np.asarray(got["iters"]).sum() < np.asarray(ref["iters"]).sum()
