@@ -301,58 +301,83 @@ class FMIndex:
         )
 
 
+# Chunk size for streaming table construction, in blocks. A multiple of
+# MAJOR_BLOCKS so every major checkpoint is computed within its own
+# chunk; big builds (GRCh38-scale: 6.2 G doubled bases) must never
+# materialize O(n) 64-bit temporaries — the naive whole-array packing
+# peaked >60 GB of temps and OOM'd a 125 GB host.
+_PACK_CHUNK_BLOCKS = 32 * MAJOR_BLOCKS
+
+
 def _pack_mark_bits(mark: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Bit-rank blocks over the rank-mark bitvector: per 128 ranks, an
     exclusive popcount checkpoint + 4 words (LSB-first bit order).
     Checkpoints are stored relative to int64 major checkpoints every
-    MAJOR_BLOCKS rows; returns (bits, majors)."""
+    MAJOR_BLOCKS rows; returns (bits, majors). Streams in chunks."""
     m = mark.shape[0]
     nb = (m + 127) // 128
-    padded = np.zeros(nb * 128, dtype=bool)
-    padded[:m] = mark
-    bits = padded.reshape(nb, 4, 32)
-    weights = (1 << np.arange(32, dtype=np.uint64))
-    words = (bits.astype(np.uint64) * weights[None, None, :]).sum(axis=2)
-    counts = bits.sum(axis=(1, 2))
-    ckpt = np.zeros(nb, dtype=np.int64)
-    ckpt[1:] = np.cumsum(counts)[:-1]
-    majors = ckpt[::MAJOR_BLOCKS].copy()
-    rel = ckpt - np.repeat(majors, MAJOR_BLOCKS)[:nb]
     out = np.empty((nb, 5), dtype=np.int32)
-    out[:, 0] = rel.astype(np.uint32).view(np.int32)
-    out[:, 1:] = words.astype(np.uint32).view(np.int32).reshape(nb, 4)
+    majors = np.empty(-(-nb // MAJOR_BLOCKS), dtype=np.int64)
+    weights = (1 << np.arange(32, dtype=np.uint64))
+    run = np.int64(0)
+    for b0 in range(0, nb, _PACK_CHUNK_BLOCKS):
+        b1 = min(b0 + _PACK_CHUNK_BLOCKS, nb)
+        seg = np.zeros((b1 - b0) * 128, dtype=bool)
+        src = mark[b0 * 128 : min(b1 * 128, m)]
+        seg[: src.shape[0]] = src
+        bits = seg.reshape(b1 - b0, 4, 32)
+        words = (bits.astype(np.uint64) * weights[None, None, :]).sum(axis=2)
+        counts = bits.sum(axis=(1, 2))
+        ckpt = np.empty(b1 - b0, dtype=np.int64)
+        ckpt[0] = run
+        np.cumsum(counts[:-1], out=ckpt[1:])
+        ckpt[1:] += run
+        run += counts.sum()
+        mj = majors[b0 // MAJOR_BLOCKS : -(-b1 // MAJOR_BLOCKS)]
+        mj[:] = ckpt[::MAJOR_BLOCKS]
+        rel = ckpt - np.repeat(mj, MAJOR_BLOCKS)[: b1 - b0]
+        out[b0:b1, 0] = rel.astype(np.uint32).view(np.int32)
+        out[b0:b1, 1:] = words.astype(np.uint32).view(np.int32).reshape(-1, 4)
     return out, majors
 
 
 def _pack_blocks(stored: np.ndarray) -> np.ndarray:
-    """Interleave Occ checkpoints + packed words for the stored BWT."""
+    """Interleave Occ checkpoints + packed words for the stored BWT.
+    Streams in chunks (no O(n) 64-bit temporaries)."""
     n = stored.shape[0]
     n_blocks = n // OCC_BLOCK + 1
-    padded = np.zeros(n_blocks * OCC_BLOCK, dtype=np.uint8)
-    padded[:n] = stored
-    by_block = padded.reshape(n_blocks, OCC_BLOCK)
-    # per-block symbol counts -> exclusive cumulative checkpoints
-    counts = np.zeros((n_blocks, 4), dtype=np.int64)
-    # padding bases (code 0) beyond n must not contaminate checkpoints;
-    # they sit in the final block only, after every checkpoint, so plain
-    # counting is safe for the cumulative (exclusive) sums.
-    for c in range(4):
-        counts[:, c] = (by_block == c).sum(axis=1)
-    ckpt = np.zeros((n_blocks, 4), dtype=np.int64)
-    ckpt[1:] = np.cumsum(counts, axis=0)[:-1]
-    # (padding bases live only in the final block, after every checkpoint,
-    # so the exclusive sums are unaffected by them)
-    # int64 major checkpoints every MAJOR_BLOCKS rows keep the per-block
-    # minor counts within int32 at any text size
-    majors = ckpt[::MAJOR_BLOCKS].copy()
-    rel = ckpt - np.repeat(majors, MAJOR_BLOCKS, axis=0)[:n_blocks]
-    # pack 16 bases/word, big-endian within word
-    shifts = (2 * (15 - np.arange(16, dtype=np.uint64))).astype(np.uint64)
-    grp = by_block.reshape(n_blocks, WORDS_PER_BLOCK, 16).astype(np.uint64)
-    words = (grp << shifts[None, None, :]).sum(axis=2).astype(np.uint32)
     out = np.empty((n_blocks, BLOCK_COLS), dtype=np.int32)
-    out[:, :4] = rel.astype(np.uint32).view(np.int32).reshape(n_blocks, 4)
-    out[:, 4:] = words.view(np.int32)
+    majors = np.empty((-(-n_blocks // MAJOR_BLOCKS), 4), dtype=np.int64)
+    shifts = (2 * (15 - np.arange(16, dtype=np.uint64))).astype(np.uint64)
+    run = np.zeros(4, dtype=np.int64)
+    for b0 in range(0, n_blocks, _PACK_CHUNK_BLOCKS):
+        b1 = min(b0 + _PACK_CHUNK_BLOCKS, n_blocks)
+        nbc = b1 - b0
+        seg = np.zeros(nbc * OCC_BLOCK, dtype=np.uint8)
+        src = stored[b0 * OCC_BLOCK : min(b1 * OCC_BLOCK, n)]
+        seg[: src.shape[0]] = src
+        by_block = seg.reshape(nbc, OCC_BLOCK)
+        # per-block symbol counts -> exclusive cumulative checkpoints.
+        # padding bases (code 0) beyond n sit in the final block only,
+        # after every checkpoint, so plain counting stays correct.
+        counts = np.empty((nbc, 4), dtype=np.int64)
+        for c in range(4):
+            counts[:, c] = (by_block == c).sum(axis=1)
+        ckpt = np.empty((nbc, 4), dtype=np.int64)
+        ckpt[0] = run
+        np.cumsum(counts[:-1], axis=0, out=ckpt[1:])
+        ckpt[1:] += run
+        run += counts.sum(axis=0)
+        # int64 major checkpoints every MAJOR_BLOCKS rows keep the
+        # per-block minor counts within int32 at any text size
+        mj = majors[b0 // MAJOR_BLOCKS : -(-b1 // MAJOR_BLOCKS)]
+        mj[:] = ckpt[::MAJOR_BLOCKS]
+        rel = ckpt - np.repeat(mj, MAJOR_BLOCKS, axis=0)[:nbc]
+        # pack 16 bases/word, big-endian within word
+        grp = by_block.reshape(nbc, WORDS_PER_BLOCK, 16).astype(np.uint64)
+        words = (grp << shifts[None, None, :]).sum(axis=2).astype(np.uint32)
+        out[b0:b1, :4] = rel.astype(np.uint32).view(np.int32)
+        out[b0:b1, 4:] = words.view(np.int32)
     return out, majors
 
 
@@ -382,18 +407,39 @@ def build_fmindex_from_codes(
     # the DEVICE pipeline still requires int32 ranks (ROADMAP.md item 1)
     S = np.concatenate([pac, (3 - pac)[::-1]])
     sa = suffix_array(S)  # n+1 entries, sa[0] = n
-    primary = int(np.flatnonzero(sa == 0)[0])
-    # stored BWT: conceptual B minus the sentinel row
-    nz = sa[sa > 0]
-    stored = S[nz - 1]
+    # One streaming pass over sa builds the stored BWT (B minus the
+    # sentinel row), the rank-mark bitvector, the sampled SA, and finds
+    # the primary — whole-array expressions here each materialize an
+    # O(n) int64 temporary (several x 50 GB at GRCh38 scale).
+    CH = 1 << 27
+    stored = np.empty(n, dtype=np.uint8)
+    mark = np.empty(n + 1, dtype=bool)
+    sample_dt = np.int32 if n < 2**31 else np.int64
+    samples = []
+    primary = -1
+    cursor = 0
+    for c0 in range(0, n + 1, CH):
+        v = sa[c0 : c0 + CH]
+        mk_c = (v % sa_interval) == 0
+        mark[c0 : c0 + CH] = mk_c
+        samples.append(v[mk_c].astype(sample_dt))
+        z = np.flatnonzero(v == 0)
+        if z.size:
+            primary = c0 + int(z[0])
+        pos = v[v > 0]
+        pos -= 1
+        stored[cursor : cursor + pos.shape[0]] = S[pos]
+        cursor += pos.shape[0]
+    assert cursor == n and primary >= 0
+    sa_sample = np.concatenate(samples)
+    del samples, sa
     L2 = np.zeros(5, dtype=np.int64)
     L2[1:] = np.cumsum(np.bincount(S, minlength=4)[:4])
+    del S
     blocks, occ_majors = _pack_blocks(stored)
-    # position-sampled SA: mark ranks whose SA value is a multiple of the
-    # interval; bounds every LF resolution walk at interval-1 steps
-    mark = (sa % sa_interval) == 0
-    sa_sample = sa[mark].astype(np.int32 if n < 2**31 else np.int64)
+    del stored
     sa_bits, sa_majors = _pack_mark_bits(mark)
+    del mark
     mk = lambda x, dt: np.asarray(x if x is not None else [], dtype=dt)
     n_refs_known = ref_names is not None
     return FMIndex(

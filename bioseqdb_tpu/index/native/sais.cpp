@@ -24,8 +24,8 @@ inline bool is_lms(const std::vector<bool>& t, I i) {
     return i > 0 && t[i] && !t[i - 1];
 }
 
-template <typename I>
-void get_counts(const I* T, std::vector<I>& C, I n, I K) {
+template <typename I, typename TT>
+void get_counts(const TT* T, std::vector<I>& C, I n, I K) {
     for (I i = 0; i < K; ++i) C[i] = 0;
     for (I i = 0; i < n; ++i) ++C[T[i]];
 }
@@ -39,8 +39,8 @@ void get_buckets(const std::vector<I>& C, std::vector<I>& B, I K, bool end) {
     }
 }
 
-template <typename I>
-void induce(const I* T, I* SA, I n, I K, const std::vector<bool>& t,
+template <typename I, typename TT>
+void induce(const TT* T, I* SA, I n, I K, const std::vector<bool>& t,
             const std::vector<I>& C, std::vector<I>& B) {
     // induce L-type suffixes, left to right
     get_buckets(C, B, K, false);
@@ -57,8 +57,8 @@ void induce(const I* T, I* SA, I n, I K, const std::vector<bool>& t,
 }
 
 // Compare the LMS substrings starting at a and b for equality.
-template <typename I>
-bool lms_eq(const I* T, const std::vector<bool>& t, I n, I a, I b) {
+template <typename I, typename TT>
+bool lms_eq(const TT* T, const std::vector<bool>& t, I n, I a, I b) {
     if (a == b) return true;
     if (a == n - 1 || b == n - 1) return false;  // sentinel substring is unique
     for (I i = 0;; ++i) {
@@ -69,8 +69,12 @@ bool lms_eq(const I* T, const std::vector<bool>& t, I n, I a, I b) {
 }
 
 // T[n-1] must be a unique smallest sentinel (value 0). Values in [0, K).
-template <typename I>
-void sais_main(const I* T, I* SA, I n, I K) {
+// TT is the text element type: uint16 at the top level (the 257-symbol
+// shifted alphabet) so a GRCh38-scale call does not materialize the
+// text as 64-bit ints (that alone was 50 GB); recursion levels carry
+// names and use TT = I.
+template <typename I, typename TT>
+void sais_main(const TT* T, I* SA, I n, I K) {
     if (n == 1) {
         SA[0] = 0;
         return;
@@ -115,7 +119,7 @@ void sais_main(const I* T, I* SA, I n, I K) {
     I* SA1 = SA;
     I* s1 = SA + n - n1;
     if (name < n1) {
-        sais_main<I>(s1, SA1, n1, name);
+        sais_main<I, I>(s1, SA1, n1, name);
     } else {
         for (I i = 0; i < n1; ++i) SA1[s1[i]] = i;
     }
@@ -142,10 +146,11 @@ int sais_u8(const uint8_t* T, I n, I* SA) {
         return 0;
     }
     // append the sentinel explicitly; shift the alphabet up by one
-    std::vector<I> buf(n + 1);
-    for (I i = 0; i < n; ++i) buf[i] = static_cast<I>(T[i]) + 1;
+    // (uint16 buffer: 257 symbols, and 8x smaller than I at int64 scale)
+    std::vector<uint16_t> buf(n + 1);
+    for (I i = 0; i < n; ++i) buf[i] = static_cast<uint16_t>(T[i]) + 1;
     buf[n] = 0;
-    sais_main<I>(buf.data(), SA, n + 1, (I)257);
+    sais_main<I, uint16_t>(buf.data(), SA, n + 1, (I)257);
     return 0;
 }
 

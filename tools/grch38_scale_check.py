@@ -27,14 +27,18 @@ def main():
     t0 = time.time()
     g = simulate_genome(n, seed=5)
     print(f"genome {n/1e9:.2f}Gb in {time.time()-t0:.0f}s", flush=True)
+    # simulate reads up front so the genome string can be freed before
+    # the (memory-dominant) index build
+    sim = simulate_reads(g, 20, read_len=150, sub_rate=0.0, seed=6)
+    sim2 = simulate_reads(g, 3, read_len=150, sub_rate=0.02, seed=7)
     t0 = time.time()
     idx = build_index([("grch38scale", g)])
+    del g
     print(f"index built in {time.time()-t0:.0f}s; doubled={idx.seq_len/1e9:.2f}G"
           f" blocks {idx.blocks.nbytes/1e9:.2f}GB sa_sample "
           f"{idx.sa_sample.nbytes/1e9:.2f}GB ({idx.sa_sample.dtype},"
           f" interval {idx.sa_interval})", flush=True)
 
-    sim = simulate_reads(g, 20, read_len=150, sub_rate=0.0, seed=6)
     ok = 0
     for r, p, s in zip(sim.reads, sim.positions, sim.strands):
         codes = LUT[np.frombuffer(r.encode(), np.uint8)]
@@ -46,7 +50,6 @@ def main():
     print(f"exact search+resolve: {ok}/20 at truth", flush=True)
 
     opt = AlignOptions()
-    sim2 = simulate_reads(g, 3, read_len=150, sub_rate=0.02, seed=7)
     for i, (r, p, s) in enumerate(zip(sim2.reads, sim2.positions, sim2.strands)):
         alns = O.align_read(idx, opt, LUT[np.frombuffer(r.encode(), np.uint8)],
                             rand_id=i)
@@ -54,7 +57,7 @@ def main():
         assert (a.pos, a.is_rev) == (p, bool(s)), (a.pos, p)
         print(f"  read{i}: pos {a.pos} {cigar_to_string(a.cigar)} mapq {a.mapq}",
               flush=True)
-    del g, sim, sim2
+    del sim, sim2
     t0 = time.time()
     os.makedirs(out, exist_ok=True)
     path = os.path.join(out, "grch38_scale.idx")
