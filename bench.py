@@ -28,7 +28,10 @@ def _log(*a):
     print("[bench]", *a, file=sys.stderr, flush=True)
 
 
-def bench_full(jax, idx, genome, batch_size=8192, n_batches=6):
+def bench_full(jax, idx, genome, batch_size=None, n_batches=6):
+    import os
+    if batch_size is None:
+        batch_size = int(os.environ.get("BST_BENCH_BATCH", 8192))
     import numpy as np
 
     from bioseqdb_tpu.align.finalize import finalize_batch
