@@ -64,7 +64,10 @@ def shard_index(idx: FMIndex, mesh: Mesh, axis: str = "index") -> FMSharded:
 
     def split(arr, cols=None):
         rows = arr.shape[0]
-        rps = (rows + n_sh - 1) // n_sh
+        # rows per shard in multiples of 4: block-row gathers go through
+        # the (rps/4, 48) quad view (kernels/fm.py _block_row), and shard
+        # boundaries must not bisect a quad
+        rps = ((rows + n_sh - 1) // n_sh + 3) & ~3
         pad = n_sh * rps - rows
         shape = (rows + pad,) + arr.shape[1:]
         out = np.zeros(shape, arr.dtype)

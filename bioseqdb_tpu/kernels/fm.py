@@ -69,10 +69,18 @@ class FMDevice(NamedTuple):
             )
         putr = lambda x: jax.device_put(jnp.asarray(np.asarray(x), rank_dtype), device)
         put32 = lambda x: jax.device_put(jnp.asarray(np.asarray(x), jnp.int32), device)
+        blocks = np.asarray(idx.blocks)
+        if blocks.shape[0] & 3:
+            # block-row gathers go through the (n/4, 48) quad view
+            # (_block_row): pad to a multiple of 4 rows (zero pad rows
+            # are only ever read as discarded quad thirds)
+            pad = -blocks.shape[0] & 3
+            blocks = np.concatenate(
+                [blocks, np.zeros((pad, blocks.shape[1]), blocks.dtype)])
         return cls(
             L2=putr(idx.L2),
             primary=putr(idx.primary),
-            blocks=put32(idx.blocks),
+            blocks=put32(blocks),
             sa_sample=putr(idx.sa_sample),
             sa_bits=put32(idx.sa_bits),
             occ_majors=putr(idx.occ_majors),
@@ -138,6 +146,24 @@ def _table_row(table: jnp.ndarray, blk: jnp.ndarray, axis: str | None):
     return row, mine
 
 
+def _block_row(fm: FMDevice, blk: jnp.ndarray, axis: str | None):
+    """Gather the 12-int32 Occ block row ``blk`` through the (n/4, 48)
+    quad view of ``blocks``.
+
+    v5e dynamic gathers with rows >= 128 bytes lower to a ~2x cheaper
+    per-row path than 48-byte rows (6 vs 12 ns/row at 16K rows —
+    tools/microbench_gather_width*.py), and the quad view is a free
+    reshape, so every rank query fetches its block's 192-byte quad row
+    and selects the 48-byte sub-row with vector ops."""
+    n = fm.blocks.shape[0]
+    assert n % 4 == 0, "blocks row count must be a multiple of 4"
+    q48, mine = _table_row(fm.blocks.reshape(n // 4, 48), blk >> 2, axis)
+    sub = q48.reshape(q48.shape[:-1] + (4, 12))
+    pick_idx = jnp.broadcast_to((blk & 3).astype(jnp.int32)[..., None],
+                                blk.shape + (12,))
+    return _pick(sub, pick_idx, axis=-2), mine
+
+
 def _owner_sum(val: jnp.ndarray, mine, axis: str | None) -> jnp.ndarray:
     if axis is None:
         return val
@@ -158,7 +184,7 @@ def occ_stored(fm: FMDevice, c, j, axis: str | None = None) -> jnp.ndarray:
     """Count of code c in the stored BWT prefix [0, j). Batched."""
     blk = j >> _LOG2_OCC_BLOCK
     r = j & (OCC_BLOCK - 1)
-    row, mine = _table_row(fm.blocks, blk, axis)
+    row, mine = _block_row(fm, blk, axis)
     ckpt = _pick(row[..., :4], c, axis=-1)
     return _owner_sum(ckpt + _row_counts(row, c, r), mine, axis) + _occ_major(fm, blk, c)
 
@@ -172,7 +198,7 @@ def occ4_stored(fm: FMDevice, j, axis: str | None = None) -> jnp.ndarray:
     """Counts of all four codes in [0, j). Returns shape (..., 4)."""
     blk = j >> _LOG2_OCC_BLOCK
     r = j & (OCC_BLOCK - 1)
-    row, mine = _table_row(fm.blocks, blk, axis)
+    row, mine = _block_row(fm, blk, axis)
     cs = jnp.arange(4, dtype=jnp.int32)
     cnt = _row_counts(row[..., None, :], jnp.broadcast_to(cs, j.shape + (4,)),
                       r[..., None])
@@ -226,6 +252,21 @@ def backward_search(fm: FMDevice, codes: jnp.ndarray, lens: jnp.ndarray):
     return jnp.where(empty, 0, lo), jnp.where(empty, 0, hi)
 
 
+def fmd_extend_from_occ(fm: FMDevice, k, l, s, o1, o2):
+    """FMD backward extension from precomputed occ4 counts.
+
+    ``o1``/``o2`` are conceptual-prefix occ4 counts at ``k`` and
+    ``k + s`` (i.e. ``occ4B(fm, k)`` / ``occ4B(fm, k + s)``); the rest of
+    bwa's ``bwt_extend`` (is_back=1) is pure vector arithmetic."""
+    cnt = o2 - o1
+    k4 = (fm.L2[:4] + 1) + o1
+    dollar = ((k <= fm.primary) & (fm.primary < k + s)).astype(jnp.int32)
+    # l4[c] = l + dollar + sum_{c' > c} cnt[c']
+    suffix = jnp.cumsum(cnt[..., ::-1], axis=-1) - cnt[..., ::-1]
+    l4 = (l + dollar)[..., None] + suffix[..., ::-1]
+    return k4, l4, cnt
+
+
 def fmd_extend_back(fm: FMDevice, k, l, s, axis: str | None = None):
     """FMD bi-interval backward extension for all 4 codes (batched).
 
@@ -237,13 +278,9 @@ def fmd_extend_back(fm: FMDevice, k, l, s, axis: str | None = None):
     n = k.size
     o1 = both[:n].reshape(k.shape + (4,))
     o2 = both[n:].reshape(k.shape + (4,))
-    cnt = o2 - o1
-    k4 = (fm.L2[:4] + 1) + o1
-    dollar = ((k <= fm.primary) & (fm.primary < k + s)).astype(jnp.int32)
-    # l4[c] = l + dollar + sum_{c' > c} cnt[c']
-    suffix = jnp.cumsum(cnt[..., ::-1], axis=-1) - cnt[..., ::-1]
-    l4 = (l + dollar)[..., None] + suffix[..., ::-1]
-    return k4, l4, cnt
+    return fmd_extend_from_occ(fm, k, l, s, o1, o2)
+
+
 
 
 def fmd_extend_fwd(fm: FMDevice, k, l, s, axis: str | None = None):
@@ -302,7 +339,7 @@ def sa_resolve(fm: FMDevice, ranks: jnp.ndarray, sa_interval: int = 32,
         j = r - (r > fm.primary).astype(r.dtype)
         blk = j >> _LOG2_OCC_BLOCK
         off = j & (OCC_BLOCK - 1)
-        row, mine = _table_row(fm.blocks, blk, axis)
+        row, mine = _block_row(fm, blk, axis)
         words = jax.lax.bitcast_convert_type(row[..., 4:], jnp.uint32)
         word = _pick(words, (off >> 4), axis=-1)
         c = ((word >> (2 * (15 - (off & 15))).astype(jnp.uint32)) & 3).astype(jnp.int32)

@@ -1,0 +1,36 @@
+import sys; sys.path.insert(0, "/root/repo")
+import time
+import numpy as np
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    from bioseqdb_tpu.align.options import AlignOptions
+    from bioseqdb_tpu.align.pipeline import Aligner
+    from bioseqdb_tpu.index.builder import build_index
+    from bioseqdb_tpu.io.batch import pack_reads
+    from bioseqdb_tpu.utils.sim import simulate_genome, simulate_reads
+    B = 8192
+    genome = simulate_genome(4_600_000, seed=1)
+    idx = build_index([("ecoli", genome)])
+    al = Aligner.build(idx, AlignOptions(), mode="full")
+    print("jump:", al.jump_base, al.jump_depth, file=sys.stderr)
+    sim = simulate_reads(genome, B, read_len=150, sub_rate=0.01, seed=100)
+    rb = pack_reads(sim.reads, sim.names)
+    t0 = time.time()
+    out = jax.device_get(al.device_regions(rb))
+    print("compile+first %.1fs" % (time.time()-t0), file=sys.stderr)
+    for _ in range(3):
+        t0 = time.time(); jax.device_get(al.device_regions(rb))
+        print("device_regions+get %.1f ms" % (1000*(time.time()-t0)), file=sys.stderr)
+    # scalar-only: device compute without the 2.7MB out transfer
+    def chk(b):
+        o = al.device_regions(b)
+        return sum(jnp.sum(x.astype(jnp.int32)) for x in jax.tree.leaves(o))
+    jax.device_get(chk(rb))
+    for _ in range(3):
+        t0 = time.time(); jax.device_get(chk(rb))
+        print("device only (chk) %.1f ms" % (1000*(time.time()-t0)), file=sys.stderr)
+main()
