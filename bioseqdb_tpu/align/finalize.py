@@ -44,6 +44,42 @@ def frac_rep_of(mems: np.ndarray, n_mem: int, max_occ: int, l_query: int) -> flo
     return l_rep / l_query
 
 
+# extend_all's max_regs default (kernels/extend.py): the dense region
+# tables are (B, R) with R = 8 everywhere the Aligner drives the device
+DEFAULT_MAX_REGS = 8
+
+
+def maybe_unpack(out: dict, max_regs: int = DEFAULT_MAX_REGS) -> dict:
+    """Undo the device-side region packing (pipeline._pack_out).
+
+    Rebuilds the dense (B, R) tables (int16 fields widened to int32 so
+    downstream host arithmetic cannot overflow). Reads whose rows fell
+    past the pack capacity (off + n_regs > cap) are flagged ``overflow``
+    and take the host-oracle path — the packed form drops only their
+    rows, never anyone else's."""
+    if "off" not in out:
+        return out
+    off = np.asarray(out["off"]).astype(np.int64)
+    n_regs = np.asarray(out["n_regs"])
+    nr = np.minimum(n_regs, max_regs).astype(np.int64)
+    flat0 = np.asarray(next(iter(out["regs"].values())))
+    cap = flat0.shape[0]
+    lost = off + nr > cap
+    B, R = off.shape[0], max_regs
+    valid = (np.arange(R)[None, :] < nr[:, None]) & ~lost[:, None]
+    src = (off[:, None] + np.arange(R)[None, :])[valid]
+    regs = {}
+    for k, flat in out["regs"].items():
+        flat = np.asarray(flat)
+        dt = np.int64 if flat.dtype == np.int64 else np.int32
+        dense = np.zeros((B, R), dt)
+        dense[valid] = flat[src].astype(dt)
+        regs[k] = dense
+    out = dict(out, regs=regs, overflow=np.asarray(out["overflow"]) | lost)
+    del out["off"]
+    return out
+
+
 def regions_to_alnregs(out: dict, i: int, frac_rep: float) -> list[O.AlnReg]:
     regs = []
     r = out["regs"]
@@ -370,6 +406,7 @@ def finalize_batch(
     idx: FMIndex, opt: AlignOptions, batch: ReadBatch, out: dict,
     with_query_ids: bool = True, all_hits: bool = True,
 ) -> list[ReadResult]:
+    out = maybe_unpack(out)
     mat = fill_scmat(opt.match_score, opt.mismatch_penalty)
     max_occ = opt.resolve_max_occ(idx.n_refs)
     frac_all = frac_rep_of_out(out, batch.lens, max_occ)

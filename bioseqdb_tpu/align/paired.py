@@ -274,7 +274,11 @@ def finalize_pairs(
     runs without building region lists or calling reg2aln: vector window
     math + a light per-pair assembly. Everything else takes the full
     per-read path. Pinned equal by tests/test_paired.py."""
-    from bioseqdb_tpu.align.finalize import fast_fields, frac_rep_of_out
+    from bioseqdb_tpu.align.finalize import (fast_fields, frac_rep_of_out,
+                                             maybe_unpack)
+
+    out1 = maybe_unpack(out1)
+    out2 = maybe_unpack(out2)
 
     mat = fill_scmat(opt.match_score, opt.mismatch_penalty)
     max_occ = opt.resolve_max_occ(idx.n_refs)

@@ -125,6 +125,42 @@ def full_align_step(
     return out
 
 
+# fields whose values are bounded by the read width / scoring config, so
+# they ship to the host as int16 when the (static) bounds allow
+_NARROW_FIELDS = ("qb", "qe", "score", "truesc", "w", "seedlen0", "seedcov")
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "narrow"))
+def _pack_out(out: dict, cap: int, narrow: bool) -> dict:
+    """Row-compact the (B, R) region tables for the device->host hop.
+
+    Mean regions per read is ~1 while R is 8, and the relay charges
+    ~22 ms/MB for results (BENCH_NOTES.md), so the dense tables dominate
+    the steady-state transfer. Scatter each read's n_regs live rows to
+    flat (cap,) arrays at off[i] = exclusive cumsum of counts; reads
+    whose rows fall past ``cap`` are detectable on the host as
+    off + n_regs > cap and fall back to the host oracle
+    (finalize.maybe_unpack) — no information is silently lost."""
+    regs = out["regs"]
+    R = regs["qb"].shape[1]
+    nr = jnp.minimum(out["n_regs"], R)
+    off = jnp.cumsum(nr) - nr
+    r_i = jnp.arange(R, dtype=jnp.int32)[None, :]
+    valid = r_i < nr[:, None]
+    dst = jnp.where(valid, off[:, None] + r_i, cap).reshape(-1)
+
+    def pack(name, a):
+        if narrow and name in _NARROW_FIELDS and a.dtype == jnp.int32:
+            a = a.astype(jnp.int16)
+        return jnp.zeros((cap,), a.dtype).at[dst].set(
+            a.reshape(-1), mode="drop")
+
+    out = dict(out)
+    out["regs"] = {k: pack(k, v) for k, v in regs.items()}
+    out["off"] = off.astype(jnp.int32)
+    return out
+
+
 @dataclass
 class Aligner:
     """Bound (index, options) ready to align read batches.
@@ -225,10 +261,15 @@ class Aligner:
             return self._to_results(batch, jax.device_get(out), with_query_ids)
         return self._align_full(batch, with_query_ids)
 
-    def device_regions(self, batch: ReadBatch, keep_mems: bool = False):
+    def device_regions(self, batch: ReadBatch, keep_mems: bool = False,
+                       pack: bool | None = None):
         """Run the device pipeline only (no host finalize); returns the
         raw region arrays (+ seed-interval tables with ``keep_mems``).
-        Used by benchmarks and the finalizer."""
+        Used by benchmarks and the finalizer.
+
+        ``pack`` (default: on, except for keep_mems/sharded runs)
+        row-compacts the region tables for the device->host transfer
+        (_pack_out); finalize.maybe_unpack restores the dense layout."""
         from bioseqdb_tpu.cpu.ksw import fill_scmat
 
         opt = self.options
@@ -246,7 +287,7 @@ class Aligner:
                 self.index.n_refs, data_axis=data_axis,
                 sa_interval=self.index.sa_interval, keep_mems=keep_mems,
             )
-        return full_align_step(
+        out = full_align_step(
             self.fm, self.pac_dev, codes, lens, mat,
             min_seed_len=opt.min_seed_len, split_len=split_len,
             split_width=opt.split_width, max_mem_intv=opt.max_mem_intv,
@@ -266,6 +307,14 @@ class Aligner:
             # Pallas interpret path is far slower)
             use_pallas_sw=jax.devices()[0].platform != "cpu",
         )
+        if pack is None:
+            pack = not keep_mems
+        if pack:
+            W = int(codes.shape[1])
+            narrow = (W * max(int(opt.match_score), 1) < 30000
+                      and int(opt.bandwidth) * 16 < 30000 and W < 30000)
+            out = _pack_out(out, cap=2 * int(codes.shape[0]), narrow=narrow)
+        return out
 
     def _long_read_overflow(self, batch: ReadBatch, out: dict) -> dict:
         """Queries long enough to trigger mem_flt_chained_seeds (the

@@ -115,7 +115,8 @@ def test_full_pipeline_sharded_2d_mesh(setup):
     assert not out_sh["overflow"].any()
 
     al = Aligner.build(idx, opt, mode="full")
-    out_un = jax.device_get(al.device_regions(batch))
+    from bioseqdb_tpu.align.finalize import maybe_unpack
+    out_un = maybe_unpack(jax.device_get(al.device_regions(batch)))
     for f in ("rb", "re", "qb", "qe", "score", "truesc", "seedcov"):
         assert np.array_equal(out_sh["regs"][f], out_un["regs"][f]), f
     assert np.array_equal(out_sh["n_regs"], out_un["n_regs"])
