@@ -86,10 +86,15 @@ def full_align_step(
     from bioseqdb_tpu.kernels.extend import extend_all
     from bioseqdb_tpu.kernels.seed import collect_seeds_device
 
+    # smaller per-lane tables for short reads: the seeding loop rewrites
+    # its whole state every iteration, so table bytes are HBM bandwidth;
+    # 150 bp 1%-sub reads measure n_cand <= 16 / n_mem <= 9 (overflow ->
+    # host oracle covers the tail exactly)
+    caps = dict(max_cand=16, max_mem=16) if codes.shape[1] <= 200 else {}
     mems = collect_seeds_device(
         fm, codes, lens, min_seed_len=min_seed_len, split_len=split_len,
         split_width=split_width, max_mem_intv=max_mem_intv,
-        jump_base=jump_base, jump_depth=jump_depth,
+        jump_base=jump_base, jump_depth=jump_depth, **caps,
     )
     seeds = resolve_seeds(fm, mems["mems"], mems["n_mem"],
                           max_occ=max_occ, max_seeds=max_seeds,

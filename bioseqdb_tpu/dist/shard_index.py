@@ -189,10 +189,12 @@ def full_align_step_sharded(
 
     def inner(fms_l, codes, lens, mat):
         fm = _local_fm(fms_l)
+        caps = (dict(max_cand=16, max_mem=16) if codes.shape[1] <= 200
+                else {})  # match pipeline.full_align_step
         mems = collect_seeds_device(
             fm, codes, lens, min_seed_len=opt.min_seed_len,
             split_len=split_len, split_width=opt.split_width,
-            max_mem_intv=opt.max_mem_intv, shard_axis=axis,
+            max_mem_intv=opt.max_mem_intv, shard_axis=axis, **caps,
         )
         seeds = resolve_seeds(fm, mems["mems"], mems["n_mem"],
                               max_occ=max_occ, max_seeds=max_seeds,

@@ -248,6 +248,100 @@ def collect_seeds_device(
     def cond(st):
         return jnp.any(st["phase"] != PH_DONE)
 
+    def pivot_step(st):
+        """Pivot/bookkeeping transitions, applied BEFORE the shared
+        gather (transition-fused state machine): a lane that picks a new
+        pivot runs its first extension in the same global iteration
+        instead of burning a whole gather slot on bookkeeping. Pure
+        vector work — this is the exact PH_PIVOT logic that used to run
+        (equally unconditionally) after the gather, so fusing it is
+        free; only multi-step chains (ambiguous pivot chars, ineligible
+        round-2 sources) still take an iteration per step."""
+        st = dict(st)
+        phase = st["phase"]
+        rnd = st["round"]
+        L = st["lens"]
+        x = st["x"]
+        qx = qat_in(st["codes"], x)
+        at_pivot = phase == PH_PIVOT
+        # round transitions when the scan is exhausted
+        r1_done = at_pivot & (rnd == RD_SMEM) & (x >= L)
+        to_r2 = r1_done
+        rnd = jnp.where(to_r2, RD_RESEED, rnd)
+        st["n_mem_r1"] = jnp.where(to_r2, st["n_mem"], st["n_mem_r1"])
+        r2i = jnp.where(to_r2, 0, st["r2i"])
+        st["it_r1"] = jnp.where(to_r2, st["iters"], st["it_r1"])
+
+        # round 2 iterates over round-1 mems
+        at_r2 = at_pivot & (rnd == RD_RESEED)
+        r2_src = dense.pick_row(st["mems"], jnp.clip(r2i, 0, M - 1))
+        r2_len = (r2_src[:, 4] - r2_src[:, 3]).astype(i32)
+        r2_eligible = (r2_len >= split_len) & (r2_src[:, 2] <= split_width)
+        r2_exhausted = at_r2 & (r2i >= st["n_mem_r1"])
+        r2_skip = at_r2 & ~r2_exhausted & ~r2_eligible
+        r2_go = at_r2 & ~r2_exhausted & r2_eligible
+        r2i = jnp.where(r2_skip, r2i + 1, r2i)
+
+        # round 3 start
+        to_r3 = r2_exhausted
+        rnd = jnp.where(to_r3, RD_LAST, rnd)
+        st["round"] = rnd
+        x = jnp.where(to_r3, 0, x)
+        st["it_r2"] = jnp.where(to_r3, st["iters"], st["it_r2"])
+        at_r3p = at_pivot & (rnd == RD_LAST)
+        r3_off = at_r3p & ((max_mem_intv <= 0) | (x >= L))
+        st["phase"] = jnp.where(r3_off, PH_DONE, st["phase"])
+
+        # round-1 pivot handling
+        p1 = at_pivot & (rnd == RD_SMEM) & (x < L)
+        amb1 = p1 & (qx >= 4)
+        x = jnp.where(amb1, x + 1, x)
+        go1 = p1 & (qx < 4)
+        # round-2 pivot: x = (start+end)>>1, min_intv = s+1
+        go2 = r2_go
+        piv2 = ((r2_src[:, 3] + r2_src[:, 4]) >> 1).astype(i32)
+        x = jnp.where(go2, piv2, x)
+        st["min_intv"] = jnp.where(
+            go2, r2_src[:, 2] + 1, jnp.where(go1, 1, st["min_intv"]))
+        go = go1 | go2
+        qpiv = qat_in(st["codes"], x)
+        piv_amb2 = go2 & (qpiv >= 4)  # re-seed pivot on an N: skip it
+        r2i = jnp.where(piv_amb2, r2i + 1, r2i)
+        go = go & ~piv_amb2
+        st["ik"] = jnp.where(go[:, None], set_intv(qpiv), st["ik"])
+        st["ik_end"] = jnp.where(go, x + 1, st["ik_end"])
+        st["i"] = jnp.where(go, x + 1, st["i"])
+        st["n_cand"] = jnp.where(go, 0, st["n_cand"])
+        st["phase"] = jnp.where(go, PH_FWD, st["phase"])
+
+        # round-3 pivot handling (one pick: go3 lanes leave x unchanged,
+        # so the post-advance code equals the ambiguity-check code)
+        p3 = at_r3p & ~r3_off & (max_mem_intv > 0)
+        if jump:
+            v3 = dense.pick(st["jpack"], jnp.clip(x, 0, W - 1), axis=1)
+            q3 = v3 & 7
+            jk3 = (v3 >> 3) - 1
+        else:
+            q3 = qat_in(st["codes"], x)
+        amb3 = p3 & (q3 >= 4)
+        x = jnp.where(amb3, x + 1, x)
+        go3 = p3 & ~amb3
+        if jump:
+            # start at depth J via the prefix table when the window is
+            # clean and inside the read (PH_R3J redirects this step's
+            # gather at it)
+            jump3 = go3 & (jk3 >= 0) & (x + J <= L)
+            go3 = go3 & ~jump3
+            st["phase"] = jnp.where(jump3, PH_R3J, st["phase"])
+            st["jkey_pend"] = jnp.where(jump3, jnp.maximum(jk3, 0),
+                                        st["jkey_pend"])
+        st["ik"] = jnp.where(go3[:, None], set_intv(q3), st["ik"])
+        st["i"] = jnp.where(go3, x + 1, st["i"])
+        st["phase"] = jnp.where(go3, PH_R3, st["phase"])
+        st["x"] = x
+        st["r2i"] = r2i
+        return st
+
     def body(st):
         # per-lane step budget: cap pathological lanes (overflow -> host)
         over_budget = (st["phase"] != PH_DONE) & (st["iters"] >= max_iters)
@@ -256,12 +350,14 @@ def collect_seeds_device(
         st["phase"] = jnp.where(over_budget, PH_DONE, st["phase"])
         st["iters"] = st["iters"] + (st["phase"] != PH_DONE).astype(i32)
 
+        st = pivot_step(st)
+
         phase = st["phase"]
         rnd = st["round"]
         lens = st["lens"]
+        L = lens
         qat = lambda pos: qat_in(st["codes"], pos)
         x, i, j = st["x"], st["i"], st["j"]
-        qx = qat(x)
         qi = qat(i)
         in_fwd = phase == PH_FWD
         in_bwd = phase == PH_BWD
@@ -316,81 +412,6 @@ def collect_seeds_device(
             )
             new["i"] = jnp.where(in_r3j, x + J, new["i"])
             new["phase"] = jnp.where(in_r3j, PH_R3, new["phase"])
-
-        # ============== PH_PIVOT ==============
-        at_pivot = phase == PH_PIVOT
-        L = lens
-        # round transitions when the scan is exhausted
-        r1_done = at_pivot & (rnd == RD_SMEM) & (x >= L)
-        # round 2 iterates over round-1 mems
-        to_r2 = r1_done
-        new["round"] = jnp.where(to_r2, RD_RESEED, new["round"])
-        new["n_mem_r1"] = jnp.where(to_r2, st["n_mem"], st["n_mem_r1"])
-        new["r2i"] = jnp.where(to_r2, 0, st["r2i"])
-        new["it_r1"] = jnp.where(to_r2, st["iters"], st["it_r1"])
-
-        at_r2 = at_pivot & (new["round"] == RD_RESEED)
-        r2_src = dense.pick_row(st["mems"], jnp.clip(st["r2i"], 0, M - 1))
-        r2_len = (r2_src[:, 4] - r2_src[:, 3]).astype(i32)
-        r2_eligible = (r2_len >= split_len) & (r2_src[:, 2] <= split_width)
-        r2_exhausted = at_r2 & (st["r2i"] >= new["n_mem_r1"])
-        r2_skip = at_r2 & ~r2_exhausted & ~r2_eligible
-        r2_go = at_r2 & ~r2_exhausted & r2_eligible
-        new["r2i"] = jnp.where(r2_skip, st["r2i"] + 1, new["r2i"])
-
-        # round 3 start
-        to_r3 = r2_exhausted
-        new["round"] = jnp.where(to_r3, RD_LAST, new["round"])
-        new["x"] = jnp.where(to_r3, 0, new["x"])
-        new["it_r2"] = jnp.where(to_r3, st["iters"], st["it_r2"])
-        at_r3p = at_pivot & (new["round"] == RD_LAST)
-        r3_off = at_r3p & ((max_mem_intv <= 0) | (new["x"] >= L))
-        new["phase"] = jnp.where(r3_off, PH_DONE, new["phase"])
-
-        # round-1 pivot handling
-        p1 = at_pivot & (rnd == RD_SMEM) & (x < L)
-        amb1 = p1 & (qx >= 4)
-        new["x"] = jnp.where(amb1, x + 1, new["x"])
-        go1 = p1 & (qx < 4)
-        # round-2 pivot: x = (start+end)>>1, min_intv = s+1
-        go2 = r2_go
-        piv2 = ((r2_src[:, 3] + r2_src[:, 4]) >> 1).astype(i32)
-        new["x"] = jnp.where(go2, piv2, new["x"])
-        new["min_intv"] = jnp.where(go2, r2_src[:, 2] + 1, jnp.where(go1, 1, st["min_intv"]))
-        go = go1 | go2
-        qpiv = qat(new["x"])
-        piv_amb2 = go2 & (qpiv >= 4)  # re-seed pivot on an N: skip it
-        new["r2i"] = jnp.where(piv_amb2, st["r2i"] + 1, new["r2i"])
-        go = go & ~piv_amb2
-        new["ik"] = jnp.where(go[:, None], set_intv(qpiv), new["ik"])
-        new["ik_end"] = jnp.where(go, new["x"] + 1, st["ik_end"])
-        new["i"] = jnp.where(go, new["x"] + 1, new["i"])
-        new["n_cand"] = jnp.where(go, 0, st["n_cand"])
-        new["phase"] = jnp.where(go, PH_FWD, new["phase"])
-
-        # round-3 pivot handling (one pick: go3 lanes leave x unchanged,
-        # so the post-advance code equals the ambiguity-check code)
-        p3 = at_r3p & ~r3_off & (max_mem_intv > 0)
-        if jump:
-            v3 = dense.pick(st["jpack"], jnp.clip(new["x"], 0, W - 1), axis=1)
-            q3 = v3 & 7
-            jk3 = (v3 >> 3) - 1
-        else:
-            q3 = qat(new["x"])
-        amb3 = p3 & (q3 >= 4)
-        new["x"] = jnp.where(amb3, new["x"] + 1, new["x"])
-        go3 = p3 & ~amb3
-        if jump:
-            # start at depth J via the prefix table when the window is
-            # clean and inside the read (PH_R3J fetches it next step)
-            jump3 = go3 & (jk3 >= 0) & (new["x"] + J <= L)
-            go3 = go3 & ~jump3
-            new["phase"] = jnp.where(jump3, PH_R3J, new["phase"])
-            new["jkey_pend"] = jnp.where(jump3, jnp.maximum(jk3, 0),
-                                         st["jkey_pend"])
-        new["ik"] = jnp.where(go3[:, None], set_intv(q3), new["ik"])
-        new["i"] = jnp.where(go3, new["x"] + 1, new["i"])
-        new["phase"] = jnp.where(go3, PH_R3, new["phase"])
 
         # ============== PH_FWD ==============
         # (uses this step's extension result)
