@@ -39,6 +39,7 @@ def exact_align_step(fm: kfm.FMDevice, codes, lens, max_hits: int,
     width ``max_hits``: valid mask, rid, 0-based position within the
     reference, strand, plus the total interval size (for MAPQ/ambiguity).
     """
+    codes = codes.astype(jnp.int32)  # uint8 on the wire (see _put_batch)
     lo, hi = kfm.backward_search(fm, codes, lens)
     n_hits = hi - lo
     h = jnp.arange(max_hits, dtype=jnp.int32)[None, :]
@@ -86,6 +87,9 @@ def full_align_step(
     from bioseqdb_tpu.kernels.extend import extend_all
     from bioseqdb_tpu.kernels.seed import collect_seeds_device
 
+    # reads ship host->device as uint8 (4x less relay upload); compute
+    # in int32
+    codes = codes.astype(jnp.int32)
     # smaller per-lane tables for short reads: the seeding loop rewrites
     # its whole state every iteration, so table bytes are HBM bandwidth;
     # 150 bp 1%-sub reads measure n_cand <= 16 / n_mem <= 9 (overflow ->
@@ -135,7 +139,6 @@ def full_align_step(
 _NARROW_FIELDS = ("qb", "qe", "score", "truesc", "w", "seedlen0", "seedcov")
 
 
-@functools.partial(jax.jit, static_argnames=("cap", "narrow"))
 def _pack_out(out: dict, cap: int, narrow: bool) -> dict:
     """Row-compact the (B, R) region tables for the device->host hop.
 
@@ -163,6 +166,38 @@ def _pack_out(out: dict, cap: int, narrow: bool) -> dict:
     out = dict(out)
     out["regs"] = {k: pack(k, v) for k, v in regs.items()}
     out["off"] = off.astype(jnp.int32)
+    return out
+
+
+_pack_out_jit = functools.partial(jax.jit(_pack_out,
+                                          static_argnames=("cap", "narrow")))
+
+_STEP_STATICS = (
+    "min_seed_len", "split_len", "split_width", "max_mem_intv", "max_occ",
+    "max_seeds", "max_chains", "match_score", "mismatch_penalty",
+    "o_del", "e_del", "o_ins", "e_ins", "bandwidth", "zdrop",
+    "pen_clip5", "pen_clip3", "min_chain_weight", "max_chain_gap",
+    "mask_level", "chain_drop_ratio", "sa_interval", "use_pallas_sw",
+    "keep_mems", "jump_base", "jump_depth", "pack_cap", "pack_narrow",
+)
+
+
+@functools.partial(jax.jit, static_argnames=_STEP_STATICS)
+def _full_align_step_jit(fm, pac_dev, codes, lens, mat,
+                         pack_cap: int = 0, pack_narrow: bool = False, **kw):
+    """full_align_step + output packing as ONE compiled program.
+
+    The composed (per-stage-jitted) form costs ~7 relay dispatches per
+    batch (~80 ms of pure overhead through the axon tunnel at B=8192);
+    one program is one dispatch. The "Execution supplied N buffers but
+    compiled program expected M" crash that originally forced the
+    per-stage form was OUR bug, not JAX's: module-level jnp scalars
+    (kernels NEG constants) became leaked tracers when their module was
+    first imported under an active trace — fixed by keeping them plain
+    Python ints. BST_NO_ONEJIT=1 falls back to per-stage dispatch."""
+    out = full_align_step(fm, pac_dev, codes, lens, mat, **kw)
+    if pack_cap:
+        out = _pack_out(out, pack_cap, pack_narrow)
     return out
 
 
@@ -236,7 +271,9 @@ class Aligner:
         )
 
     def _put_batch(self, batch: ReadBatch):
-        codes = np.asarray(batch.codes, np.int32)
+        # codes stay uint8 on the wire (4x less host->device transfer
+        # through the relay); kernels cast to int32 on device
+        codes = np.asarray(batch.codes, np.uint8)
         lens = np.asarray(batch.lens, np.int32)
         if self.mesh is None:
             return jnp.asarray(codes), jnp.asarray(lens)
@@ -248,7 +285,7 @@ class Aligner:
         if rows != codes.shape[0]:
             pad = rows - codes.shape[0]
             codes = np.concatenate(
-                [codes, np.full((pad, codes.shape[1]), 4, np.int32)]
+                [codes, np.full((pad, codes.shape[1]), 4, np.uint8)]
             )
             lens = np.concatenate([lens, np.zeros(pad, np.int32)])
         sh = NamedSharding(self.mesh, P("data") if "data" in names else P())
@@ -292,8 +329,13 @@ class Aligner:
                 self.index.n_refs, data_axis=data_axis,
                 sa_interval=self.index.sa_interval, keep_mems=keep_mems,
             )
-        out = full_align_step(
-            self.fm, self.pac_dev, codes, lens, mat,
+        if pack is None:
+            pack = not keep_mems
+        W = int(codes.shape[1])
+        narrow = (W * max(int(opt.match_score), 1) < 30000
+                  and int(opt.bandwidth) * 16 < 30000 and W < 30000)
+        cap = 2 * int(codes.shape[0]) if pack else 0
+        common = dict(
             min_seed_len=opt.min_seed_len, split_len=split_len,
             split_width=opt.split_width, max_mem_intv=opt.max_mem_intv,
             max_occ=opt.resolve_max_occ(self.index.n_refs),
@@ -312,14 +354,14 @@ class Aligner:
             # Pallas interpret path is far slower)
             use_pallas_sw=jax.devices()[0].platform != "cpu",
         )
-        if pack is None:
-            pack = not keep_mems
-        if pack:
-            W = int(codes.shape[1])
-            narrow = (W * max(int(opt.match_score), 1) < 30000
-                      and int(opt.bandwidth) * 16 < 30000 and W < 30000)
-            out = _pack_out(out, cap=2 * int(codes.shape[0]), narrow=narrow)
-        return out
+        import os
+
+        if os.environ.get("BST_NO_ONEJIT") == "1":
+            out = full_align_step(self.fm, self.pac_dev, codes, lens, mat,
+                                  **common)
+            return _pack_out_jit(out, cap=cap, narrow=narrow) if pack else out
+        return _full_align_step_jit(self.fm, self.pac_dev, codes, lens, mat,
+                                    pack_cap=cap, pack_narrow=narrow, **common)
 
     def _long_read_overflow(self, batch: ReadBatch, out: dict) -> dict:
         """Queries long enough to trigger mem_flt_chained_seeds (the

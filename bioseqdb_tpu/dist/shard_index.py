@@ -189,6 +189,7 @@ def full_align_step_sharded(
 
     def inner(fms_l, codes, lens, mat):
         fm = _local_fm(fms_l)
+        codes = codes.astype(jnp.int32)  # uint8 on the wire
         caps = (dict(max_cand=16, max_mem=16) if codes.shape[1] <= 200
                 else {})  # match pipeline.full_align_step
         mems = collect_seeds_device(

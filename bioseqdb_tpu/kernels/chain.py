@@ -31,7 +31,10 @@ import jax.numpy as jnp
 from bioseqdb_tpu.kernels import dense
 from bioseqdb_tpu.kernels import fm as kfm
 
-NEG = jnp.int32(-(1 << 30))
+NEG = -(1 << 30)  # plain int: a module-level jnp scalar would be created UNDER
+# an active trace when this module is lazily imported inside a jitted
+# composition, leaking a tracer into every later trace (buffer-count
+# crashes in the jit fastpath)
 
 
 @functools.partial(

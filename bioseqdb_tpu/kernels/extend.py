@@ -34,7 +34,10 @@ from bioseqdb_tpu.kernels import fm as kfm
 from bioseqdb_tpu.kernels.loops import chunked_while
 from bioseqdb_tpu.kernels.sw import sw_extend_batch
 
-NEG = jnp.int32(-(1 << 30))
+NEG = -(1 << 30)  # plain int: a module-level jnp scalar would be created UNDER
+# an active trace when this module is lazily imported inside a jitted
+# composition, leaking a tracer into every later trace (buffer-count
+# crashes in the jit fastpath)
 MAX_BAND_TRY = 2
 
 ROW_BASES = 128               # bases per packed-pac row (8 int32 words)

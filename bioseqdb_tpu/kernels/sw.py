@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from bioseqdb_tpu.kernels import dense
 from bioseqdb_tpu.kernels.loops import chunked_while
 
-NEG_INF = jnp.int32(-(1 << 30))
+NEG_INF = -(1 << 30)  # plain int, NOT jnp: see kernels/chain.py NEG
 
 
 @functools.partial(jax.jit, static_argnames=("max_qlen",))
@@ -151,7 +151,8 @@ def sw_extend_batch(
         scan_in = jnp.where(in_band, t_ins + e_ins * jj, NEG_INF)
         run = jax.lax.cummax(scan_in, axis=1)
         g = run - e_ins * jj
-        f = jnp.concatenate([jnp.full((B, 1), NEG_INF), g[:, :-1]], axis=1)
+        f = jnp.concatenate(
+            [jnp.full((B, 1), NEG_INF, jnp.int32), g[:, :-1]], axis=1)
         f = jnp.maximum(f, 0)
 
         # H(i, j) before considering the H(i, j-1) chain through h1:

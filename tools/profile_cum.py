@@ -33,7 +33,7 @@ def main():
     from bioseqdb_tpu.kernels import fm as kfm
     from bioseqdb_tpu.kernels.chain import chain_seeds, filter_chains, resolve_seeds
     from bioseqdb_tpu.kernels.extend import extend_all, pack_doubled_rows
-    from bioseqdb_tpu.kernels.seed import collect_seeds_device
+    from bioseqdb_tpu.kernels.seed import build_r3_jump, collect_seeds_device
     from bioseqdb_tpu.utils.sim import simulate_genome, simulate_reads
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
@@ -42,6 +42,7 @@ def main():
     idx = build_index([("ecoli", genome)])
     log(f"index built (sa_interval={idx.sa_interval}); device={jax.devices()[0]}")
     fm = kfm.FMDevice.from_host(idx)
+    fm, jump_base, jump_depth = build_r3_jump(fm)
     pac_dev = jax.device_put(jnp.asarray(pack_doubled_rows(np.asarray(idx.pac))))
     sim = simulate_reads(genome, B, read_len=150, sub_rate=0.01, seed=7)
     rb = pack_reads(sim.reads, sim.names)
@@ -52,9 +53,12 @@ def main():
     max_occ = opt.resolve_max_occ(idx.n_refs)
 
     def s_seed(codes, lens):
+        # match pipeline.full_align_step: r3 jump + short-read caps
         mems = collect_seeds_device(fm, codes, lens, min_seed_len=opt.min_seed_len,
                                     split_len=split_len, split_width=opt.split_width,
-                                    max_mem_intv=opt.max_mem_intv)
+                                    max_mem_intv=opt.max_mem_intv,
+                                    jump_base=jump_base, jump_depth=jump_depth,
+                                    max_cand=16, max_mem=16)
         return mems
 
     def s_resolve(codes, lens):
