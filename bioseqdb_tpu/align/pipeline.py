@@ -256,7 +256,8 @@ class Aligner:
                 jnp.asarray(pack_doubled_rows(np.asarray(index.pac))), device
             )
             if __import__("os").environ.get("BST_NO_R3_JUMP") != "1":
-                fm, jump_base, jump_depth = build_r3_jump(fm)
+                fm, jump_base, jump_depth = build_r3_jump(
+                    fm, host_blocks=np.asarray(index.blocks))
         else:
             pac_dev = None
         return cls(

@@ -51,17 +51,39 @@ def pack_doubled_rows(pac: np.ndarray) -> np.ndarray:
     SW target windows then fetch as a handful of 32-byte ROW gathers +
     dense unpacking instead of per-element int8 gathers (XLA's TPU
     gather costs per row, so element gathers are ~35x more expensive —
-    BENCH_NOTES.md)."""
-    pac = np.asarray(pac, np.uint32) & 3
-    doubled = np.concatenate([pac, 3 - pac[::-1]])
-    n = len(doubled)
+    BENCH_NOTES.md).
+
+    Streams in chunks: at GRCh38 scale the naive uint32 materialization
+    of the doubled text costs ~37 GB of host temps."""
+    pac = np.asarray(pac)
+    n_f = len(pac)
+    n = 2 * n_f
     nrows = (n + ROW_BASES - 1) // ROW_BASES + 1
-    padded = np.zeros(nrows * ROW_BASES, np.uint32)
-    padded[:n] = doubled
-    grp = padded.reshape(-1, 16)
+    out = np.zeros((nrows, ROW_BASES // 16), np.int32)
     shifts = (15 - np.arange(16, dtype=np.uint32)) * 2
-    words = (grp << shifts).sum(axis=1, dtype=np.uint32)
-    return words.view(np.int32).reshape(nrows, ROW_BASES // 16)
+    chunk_rows = max(1, (64 << 20) // ROW_BASES)  # ~64M bases per chunk
+
+    def codes_at(lo, hi):  # doubled-text codes on [lo, hi)
+        c = np.empty(hi - lo, np.uint32)
+        nf_cut = min(max(n_f - lo, 0), hi - lo)
+        if nf_cut > 0:
+            c[:nf_cut] = pac[lo : lo + nf_cut]
+        if nf_cut < hi - lo:
+            rlo, rhi = max(lo, n_f) - n_f, hi - n_f
+            c[nf_cut:] = 3 - pac[n_f - 1 - rlo : n_f - 1 - rhi if rhi < n_f
+                                 else None : -1]
+        return c & 3
+
+    for r0 in range(0, nrows, chunk_rows):
+        r1 = min(r0 + chunk_rows, nrows)
+        lo, hi = r0 * ROW_BASES, min(r1 * ROW_BASES, n)
+        if lo >= n:
+            break
+        flat = np.zeros((r1 - r0) * ROW_BASES, np.uint32)
+        flat[: hi - lo] = codes_at(lo, hi)
+        words = (flat.reshape(-1, 16) << shifts).sum(axis=1, dtype=np.uint32)
+        out[r0:r1] = words.view(np.int32).reshape(r1 - r0, ROW_BASES // 16)
+    return out
 
 
 def window_doubled(pw: jnp.ndarray, seq_len, starts: jnp.ndarray, T: int):

@@ -91,8 +91,10 @@ def _r3_jump_rows(fm: kfm.FMDevice, depth: int = JUMP_DEPTH) -> jnp.ndarray:
 _FAST_TIER_BYTES = int(5.2 * (1 << 20))
 
 
-def build_r3_jump(fm: kfm.FMDevice,
-                  depth: int | None = None) -> tuple[kfm.FMDevice, int, int]:
+def build_r3_jump(fm: kfm.FMDevice, depth: int | None = None,
+                  host_blocks=None,
+                  host_splice_threshold: int = 1 << 30,
+                  ) -> tuple[kfm.FMDevice, int, int]:
     """Extend an FMDevice with the r3 jump table; returns
     (fm', base, depth).
 
@@ -100,7 +102,14 @@ def build_r3_jump(fm: kfm.FMDevice,
     rows resolve to the appended all-zero major checkpoint); 0 means the
     jump is disabled (rank range exhausted, or the extension would push
     a fast-tier table over the gather cliff). ``depth`` None picks the
-    largest profitable depth for the table size."""
+    largest profitable depth for the table size.
+
+    ``host_blocks`` (the numpy blocks table, e.g. ``idx.blocks``) lets
+    multi-GB indexes splice the jump rows on HOST: the device
+    concatenate transiently multiplies the table allocation and OOMs a
+    16 GB HBM at GRCh38 scale."""
+    import numpy as np
+
     n_blocks = int(fm.blocks.shape[0])
     base = -(-n_blocks // kfm.MAJOR_BLOCKS) * kfm.MAJOR_BLOCKS
     if depth is None:
@@ -115,10 +124,17 @@ def build_r3_jump(fm: kfm.FMDevice,
     if fm.rank_dtype == jnp.int32 and max_rank >= 2**31:
         return fm, 0, 0
     rows = _r3_jump_rows(fm, depth)
-    pad = jnp.zeros((base - n_blocks, 12), jnp.int32)
-    blocks_ext = jnp.concatenate([fm.blocks, pad, rows], axis=0)
     majors_ext = jnp.concatenate(
         [fm.occ_majors, jnp.zeros((1, 4), fm.occ_majors.dtype)], axis=0)
+    if host_blocks is not None and fm.blocks.nbytes > host_splice_threshold:
+        dev = next(iter(fm.blocks.devices()), None)
+        ext = np.zeros((base + 2 * K, 12), np.int32)
+        ext[: host_blocks.shape[0]] = host_blocks
+        ext[base:] = np.asarray(jax.device_get(rows))
+        blocks_ext = jax.device_put(jnp.asarray(ext), dev)
+    else:
+        pad = jnp.zeros((base - n_blocks, 12), jnp.int32)
+        blocks_ext = jnp.concatenate([fm.blocks, pad, rows], axis=0)
     return fm._replace(blocks=blocks_ext, occ_majors=majors_ext), base, depth
 
 

@@ -184,3 +184,21 @@ def test_r3_jump_exact_equivalence(setup):
     assert not np.asarray(got["overflow"]).any()
     # the jump must actually engage (fewer iterations)
     assert np.asarray(got["iters"]).sum() < np.asarray(ref["iters"]).sum()
+
+
+def test_r3_jump_host_splice_matches_device_concat(setup):
+    """The host-spliced jump-table build (multi-GB indexes: the device
+    concatenate transiently multiplies the table allocation and OOMs
+    HBM at GRCh38 scale) must produce the identical extended index."""
+    import numpy as np
+    from bioseqdb_tpu.kernels.seed import build_r3_jump
+
+    g, idx, fm = setup
+    dev, b_dev, d_dev = build_r3_jump(fm, depth=6)
+    host, b_h, d_h = build_r3_jump(fm, depth=6,
+                                   host_blocks=np.asarray(idx.blocks),
+                                   host_splice_threshold=0)
+    assert (b_dev, d_dev) == (b_h, d_h) and b_dev > 0
+    assert np.array_equal(np.asarray(dev.blocks), np.asarray(host.blocks))
+    assert np.array_equal(np.asarray(dev.occ_majors),
+                          np.asarray(host.occ_majors))
