@@ -43,6 +43,8 @@ RD_SMEM = 0    # round 1: SMEMs
 RD_RESEED = 1  # round 2: re-seed long low-occ SMEMs
 RD_LAST = 2    # round 3: LAST-like seeds
 
+DEBUG_CENSUS = False  # tools/iter_split.py: per-phase iteration counters
+
 
 @functools.partial(jax.jit, static_argnames=("depth",))
 def _r3_jump_rows(fm: kfm.FMDevice, depth: int = JUMP_DEPTH) -> jnp.ndarray:
@@ -235,6 +237,11 @@ def collect_seeds_device(
         st["jpack"] = codes.astype(i32) | (
             (jnp.where(clean, key, -1) + 1) << 3)
         st["jkey_pend"] = jnp.zeros(B, i32)  # key latched at pivot time
+    if DEBUG_CENSUS:
+        st["ph_census"] = jnp.zeros((B, 6), i32)
+        st["bwd_dead"] = jnp.zeros(B, i32)
+        st["same_quad"] = jnp.zeros(B, i32)
+        st["ext_n"] = jnp.zeros(B, i32)
     # lanes with no bases never run
     st["phase"] = jnp.where(lens > 0, PH_PIVOT, PH_DONE)
 
@@ -367,6 +374,30 @@ def collect_seeds_device(
         st["iters"] = st["iters"] + (st["phase"] != PH_DONE).astype(i32)
 
         st = pivot_step(st)
+
+        if "ph_census" in st:  # debug instrumentation (tools/iter_split.py)
+            oh = jax.nn.one_hot(st["phase"], 6, dtype=i32)
+            st["ph_census"] = st["ph_census"] + oh
+            st["bwd_dead"] = st["bwd_dead"] + (
+                (st["phase"] == PH_BWD)
+                & ((st["i"] < 0) | (qat_in(st["codes"], st["i"]) >= 4))
+            ).astype(i32)
+            # same-quad fraction: extensions whose two rank positions
+            # fall in one 512-base quad row (the dual-read premise)
+            live = (st["phase"] == PH_FWD) | (st["phase"] == PH_BWD) | (
+                st["phase"] == PH_R3)
+            jj = st["j"]
+            je = jnp.where(st["rev1"], st["n_prev"] - 1 - jj, jj)
+            biv = dense.pick_row(st["prev"], jnp.clip(je, 0, P - 1))
+            kk = jnp.where(st["phase"] == PH_BWD, biv[:, 0], st["ik"][:, 0])
+            ss = jnp.maximum(
+                jnp.where(st["phase"] == PH_BWD, biv[:, 2], st["ik"][:, 2]), 0)
+            p1 = kk - (kk > fm.primary).astype(kk.dtype)
+            k2 = kk + ss
+            p2 = k2 - (k2 > fm.primary).astype(k2.dtype)
+            same = (p1 >> 9) == (p2 >> 9)
+            st["same_quad"] = st["same_quad"] + (live & same).astype(i32)
+            st["ext_n"] = st["ext_n"] + live.astype(i32)
 
         phase = st["phase"]
         rnd = st["round"]
@@ -579,5 +610,11 @@ def collect_seeds_device(
         b //= 4
         sizes.append(b)
     st = run_compacting(st, sizes)
-    return dict(mems=st["mems"], n_mem=st["n_mem"], overflow=st["overflow"],
-                iters=st["iters"], it_r1=st["it_r1"], it_r2=st["it_r2"])
+    out = dict(mems=st["mems"], n_mem=st["n_mem"], overflow=st["overflow"],
+               iters=st["iters"], it_r1=st["it_r1"], it_r2=st["it_r2"])
+    if DEBUG_CENSUS:
+        out["ph_census"] = st["ph_census"]
+        out["bwd_dead"] = st["bwd_dead"]
+        out["same_quad"] = st["same_quad"]
+        out["ext_n"] = st["ext_n"]
+    return out
