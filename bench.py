@@ -31,7 +31,7 @@ def _log(*a):
 def bench_full(jax, idx, genome, batch_size=None, n_batches=6):
     import os
     if batch_size is None:
-        batch_size = int(os.environ.get("BST_BENCH_BATCH", 8192))
+        batch_size = int(os.environ.get("BST_BENCH_BATCH", 16384))
     import numpy as np
 
     from bioseqdb_tpu.align.finalize import finalize_batch

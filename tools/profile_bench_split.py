@@ -24,7 +24,7 @@ def main():
     from bioseqdb_tpu.io.batch import pack_reads
     from bioseqdb_tpu.utils.sim import simulate_genome, simulate_reads
 
-    B = 8192
+    B = int(__import__("os").environ.get("BST_BENCH_BATCH", 8192))
     genome = simulate_genome(4_600_000, seed=1)
     idx = build_index([("ecoli", genome)])
     al = Aligner.build(idx, AlignOptions(), mode="full")
