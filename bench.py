@@ -34,7 +34,7 @@ def bench_full(jax, idx, genome, batch_size=None, n_batches=6):
         batch_size = int(os.environ.get("BST_BENCH_BATCH", 16384))
     import numpy as np
 
-    from bioseqdb_tpu.align.finalize import finalize_batch
+    from bioseqdb_tpu.align.columns import finalize_columns
     from bioseqdb_tpu.align.options import AlignOptions
     from bioseqdb_tpu.align.pipeline import Aligner
     from bioseqdb_tpu.io.batch import pack_reads
@@ -53,8 +53,11 @@ def bench_full(jax, idx, genome, batch_size=None, n_batches=6):
     out = jax.device_get(al.device_regions(batches[0]))
     _log(f"full-pipeline compile+first batch: {time.time() - t0:.1f}s")
     # warm the host finalize path too (native lib load, numpy dispatch
-    # caches) — the metric is steady-state serving throughput
-    finalize_batch(idx, al.options, batches[0], out)
+    # caches) — the metric is steady-state serving throughput. The
+    # serving output is the columnar batch (align/columns.py): every
+    # bwa_result field as arrays + CIGAR/MD text blob, SAM-renderable
+    # via sam.emit.emit_sam_columns.
+    finalize_columns(idx, al.options, batches[0], out)
 
     # timed: overlap device compute (async dispatch) with host finalize
     t0 = time.time()
@@ -63,16 +66,16 @@ def bench_full(jax, idx, genome, batch_size=None, n_batches=6):
     for k in range(n_batches):
         nxt = al.device_regions(batches[k + 1]) if k + 1 < n_batches else None
         out = jax.device_get(pending)
-        results.append(finalize_batch(idx, al.options, batches[k], out))
+        results.append(finalize_columns(idx, al.options, batches[k], out))
         pending = nxt
     dt = time.time() - t0
     total = batch_size * n_batches
 
     ok = 0
-    for res, sim in zip(results, sims):
-        for r, p, s in zip(res, sim.positions, sim.strands):
-            if r.mapped and r.primary.ref_begin == p and r.primary.is_reverse == bool(s):
-                ok += 1
+    for cols, sim in zip(results, sims):
+        n = len(sim.positions)
+        ok += int((cols.mapped[:n] & (cols.pos[:n] == sim.positions)
+                   & (cols.is_rev[:n] == sim.strands.astype(bool))).sum())
     _log(f"truth: {ok}/{total}")
     assert ok >= 0.98 * total, "bench correctness check failed"
     return total / dt

@@ -212,15 +212,18 @@ def fast_fields(
     With exactly one candidate region, mem_sort_dedup_patch and
     mem_mark_primary_se are no-ops (the region stays primary with
     sub = csub = sub_n = 0), so the whole per-read tail reduces to
-    mem_reg2aln — run batched: MAPQ/position/clip math vectorized here,
-    and the alignment tail (band inference, banded global alignment with
-    the band-doubling retry, NM/MD, CIGAR text) in one native OpenMP
-    call (index/native/finalize1.cpp:reg2aln1_batch_c).
+    mem_reg2aln — run batched: MAPQ/rid math vectorized here, and
+    everything per-row (oriented window extraction from codes/pac, band
+    inference, banded global alignment with the band-doubling retry,
+    NM/MD, CIGAR text, position) in one native OpenMP call
+    (index/native/finalize1.cpp:finalize_fast2_c).
 
     Must agree exactly with the per-read path (tests/test_finalize_fast).
     Returns a dict of per-row vectors with a ``fast`` eligibility mask;
+    CIGAR/MD text lives in a compact blob (``text``/``stride``/``tslot``
+    + ``cig_len``/``md_len``) decoded on demand by ``fast_cigar_md`` —
     ``fast_hit``/SE & PE assemblers build Hits from it."""
-    from bioseqdb_tpu.index.native.build import reg2aln1_batch
+    from bioseqdb_tpu.index.native.build import finalize_fast2
 
     r = out["regs"]
     B = len(batch.names)
@@ -232,8 +235,8 @@ def fast_fields(
     rb = np.asarray(r["rb"])[:B, 0].astype(np.int64)
     re = np.asarray(r["re"])[:B, 0].astype(np.int64)
     score = np.asarray(r["score"])[:B, 0].astype(np.int64)
-    truesc = np.asarray(r["truesc"])[:B, 0].astype(np.int64)
-    w_reg = np.asarray(r["w"])[:B, 0].astype(np.int64)
+    truesc = np.asarray(r["truesc"])[:B, 0]
+    w_reg = np.asarray(r["w"])[:B, 0]
     Lq = qe - qb
     Lt = re - rb
     a, b = opt.match_score, opt.mismatch_penalty
@@ -253,44 +256,29 @@ def fast_fields(
         return f
     sel = np.flatnonzero(fast)
 
-    # ---- oriented windows for the native call (reg2aln's qq/rr) ----
-    Wq = int(Lq[sel].max())
-    Wt = int(Lt[sel].max())
-    rev_s = is_rev[sel][:, None]
-    jq = np.arange(Wq)[None, :]
-    qpos = np.where(rev_s, qe[sel][:, None] - 1 - jq, qb[sel][:, None] + jq)
-    qq = np.take_along_axis(
-        np.asarray(batch.codes)[sel], np.clip(qpos, 0, batch.codes.shape[1] - 1),
-        axis=1,
-    ).astype(np.uint8)
-    jt = np.arange(Wt)[None, :]
-    rstart = np.where(is_rev[sel], n - re[sel], rb[sel])
-    rpos = np.clip(rstart[:, None] + jt, 0, l_pac - 1)
-    rvals = np.asarray(idx.pac)[rpos]
-    rr = np.where(rev_s, 3 - rvals, rvals).astype(np.uint8)
-    clip5 = np.where(is_rev, lens - qe, qb)
-    clip3 = np.where(is_rev, qb, lens - qe)
-
     mat = fill_scmat(a, b)
-    cigars, mds, nm_s, lead_d_s, rcons_s, status = reg2aln1_batch(
-        qq, rr, Lq[sel], Lt[sel], truesc[sel], w_reg[sel],
-        clip5[sel], clip3[sel], mat,
+    (text, stride, cig_len, md_len, nm_s, lead_d_s, rcons_s, pos_s,
+     clip5_s, clip3_s, status) = finalize_fast2(
+        sel, np.asarray(batch.codes), lens, np.asarray(idx.pac), l_pac, n,
+        qb, qe, rb, re, truesc, w_reg, mat,
         opt.o_del, opt.e_del, opt.o_ins, opt.e_ins, a, opt.bandwidth,
     )
     if (status != 0).any():  # native buffer overflow: per-read fallback
         fast[sel[status != 0]] = False
 
-    nm = np.zeros(B, np.int64)
-    lead_d = np.zeros(B, np.int64)
-    ref_consumed = np.zeros(B, np.int64)
-    nm[sel] = nm_s
-    lead_d[sel] = lead_d_s
-    ref_consumed[sel] = rcons_s
-    cig_all: list[str] = [""] * B
-    md_all: list[str] = [""] * B
-    for k, row in enumerate(sel.tolist()):
-        cig_all[row] = cigars[k]
-        md_all[row] = mds[k]
+    def scatter(vals, dtype=np.int64):
+        full = np.zeros(B, dtype)
+        full[sel] = vals
+        return full
+
+    nm = scatter(nm_s)
+    lead_d = scatter(lead_d_s)
+    ref_consumed = scatter(rcons_s)
+    clip5 = np.where(is_rev, lens - qe, qb)
+    clip3 = np.where(is_rev, qb, lens - qe)
+    # text blob slot per batch row (-1 = none); CIGAR/MD decoded lazily
+    tslot = np.full(B, -1, np.int64)
+    tslot[sel] = np.arange(sel.shape[0])
 
     # ---- MAPQ (approx_mapq with sub=csub=0, sub_n=0) ----
     sub = float(opt.min_seed_len * a)
@@ -310,16 +298,33 @@ def fast_fields(
     local = pos - np.asarray(idx.ref_offsets)[rid]
     f.update(is_rev=is_rev, nm=nm, mapq=mapq, rid=rid, local=local,
              clip5=clip5, clip3=clip3, ref_consumed=ref_consumed,
-             cigar=cig_all, md=md_all)
+             text=text, stride=stride, tslot=tslot,
+             cig_len=cig_len, md_len=md_len)
     return f
+
+
+def fast_cigar_md(f: dict, i: int) -> tuple[str, str]:
+    """Decode row ``i``'s CIGAR and MD strings from the fast-finalize
+    text blob (built natively by finalize_fast2_c)."""
+    k = int(f["tslot"][i])
+    if k < 0:
+        return "", ""
+    off = k * f["stride"]
+    cl = int(f["cig_len"][k])
+    ml = int(f["md_len"][k])
+    blob = f["text"]
+    cig = blob[off : off + cl].tobytes().decode("ascii")
+    md = blob[off + cl : off + cl + ml].tobytes().decode("ascii")
+    return cig, md
 
 
 def fast_hit(idx: FMIndex, f: dict, i: int, name: str,
              query_id: int | None) -> Hit:
     """Assemble the Hit for single-region row ``i`` from the vectorized
-    fields (CIGAR/MD strings come prebuilt from the native batch)."""
+    fields (CIGAR/MD text decoded from the native batch's blob)."""
     rid = int(f["rid"][i])
     local = int(f["local"][i])
+    cigar, md = fast_cigar_md(f, i)
     return Hit(
         ref_id=int(idx.ref_ids[rid]) if len(idx.ref_ids) else rid,
         ref_name=idx.ref_names[rid],
@@ -332,11 +337,11 @@ def fast_hit(idx: FMIndex, f: dict, i: int, name: str,
         is_primary=True,
         is_secondary=False,
         is_reverse=bool(f["is_rev"][i]),
-        cigar=f["cigar"][i],
+        cigar=cigar,
         score=int(f["score"][i]),
         mapq=int(f["mapq"][i]),
         nm=int(f["nm"][i]),
-        md=f["md"][i],
+        md=md,
         rid=rid,
     )
 
@@ -358,7 +363,11 @@ def _finalize_fast(
     cols = {k: f[k][rows].tolist() for k in (
         "rid", "local", "ref_consumed", "qb", "qe", "is_rev", "score",
         "mapq", "nm")}
-    cigars, mds = f["cigar"], f["md"]
+    blob = f["text"]  # uint8; slice views decode per row (no full copy)
+    stride = f["stride"]
+    tslots = f["tslot"][rows].tolist()
+    cig_lens = f["cig_len"].tolist()
+    md_lens = f["md_len"].tolist()
     min_score = opt.min_score
     names = batch.names
     for k, i in enumerate(rows.tolist()):
@@ -368,6 +377,10 @@ def _finalize_fast(
             continue
         rid = cols["rid"][k]
         local = cols["local"][k]
+        slot = tslots[k]
+        off = slot * stride
+        cl = cig_lens[slot]
+        ml = md_lens[slot]
         results[i] = ReadResult(query_name=name, hits=[Hit(
             ref_id=ref_ids[rid] if ref_ids is not None else rid,
             ref_name=ref_names[rid],
@@ -380,11 +393,11 @@ def _finalize_fast(
             is_primary=True,
             is_secondary=False,
             is_reverse=bool(cols["is_rev"][k]),
-            cigar=cigars[i],
+            cigar=blob[off : off + cl].tobytes().decode("ascii"),
             score=cols["score"][k],
             mapq=cols["mapq"][k],
             nm=cols["nm"][k],
-            md=mds[i],
+            md=blob[off + cl : off + cl + ml].tobytes().decode("ascii"),
             rid=rid,
         )])
     return fast, results

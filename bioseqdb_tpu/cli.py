@@ -133,18 +133,18 @@ def _drain(aligner, idx, batch, pending, out, timer) -> int:
     host copy before being reported and skipped."""
     import jax
 
-    from bioseqdb_tpu.align.finalize import finalize_batch
-    from bioseqdb_tpu.sam.emit import emit_sam
+    from bioseqdb_tpu.align.columns import finalize_columns
+    from bioseqdb_tpu.sam.emit import emit_sam_columns
 
     for attempt in (1, 2):
         try:
             with timer.stage("device_wait", batch.n):
                 regions = jax.device_get(pending)
             with timer.stage("finalize", batch.n):
-                results = finalize_batch(idx, aligner.options, batch, regions)
+                cols = finalize_columns(idx, aligner.options, batch, regions)
                 seqs = [batch.read_text(i) for i in range(batch.n)]
-                out.write(emit_sam(results, idx, seqs, batch.qualities,
-                                   header=False))
+                out.write(emit_sam_columns(cols, idx, batch, header=False,
+                                           seqs=seqs))
             return batch.n
         except Exception as e:  # device flake: retry the batch once
             if attempt == 2:

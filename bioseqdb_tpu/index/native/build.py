@@ -76,6 +76,22 @@ def get_lib() -> ctypes.CDLL:
         ctypes.c_int32, ctypes.c_int32,
         ctypes.c_char_p, ctypes.c_int64,
     ] + [ctypes.POINTER(ctypes.c_int32)] * 6
+    lib.finalize_fast2_c.restype = None
+    lib.finalize_fast2_c.argtypes = [
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+    ] + [ctypes.POINTER(ctypes.c_int64)] * 4 + [
+        ctypes.POINTER(ctypes.c_int32)
+    ] * 2 + [
+        ctypes.POINTER(ctypes.c_int8),
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_char_p, ctypes.c_int64,
+    ] + [ctypes.POINTER(ctypes.c_int32)] * 5 + [
+        ctypes.POINTER(ctypes.c_int64),
+    ] + [ctypes.POINTER(ctypes.c_int32)] * 3
     lib.ksw_local_c.restype = ctypes.c_int32
     lib.ksw_local_c.argtypes = [
         ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8),
@@ -153,6 +169,61 @@ def reg2aln1_batch(qq, rr, Lq, Lt, truesc, w_reg, clip5, clip3, mat,
         cigars.append(blob[off : off + cl[i]].decode("ascii"))
         mds.append(blob[off + cl[i] : off + cl[i] + ml[i]].decode("ascii"))
     return cigars, mds, nm, lead_d, ref_consumed, status
+
+
+_I64P = ctypes.POINTER(ctypes.c_int64)
+
+
+def finalize_fast2(sel, codes, lens, pac, l_pac, seq_len,
+                   qb, qe, rb, re, truesc, w_reg, mat,
+                   o_del, e_del, o_ins, e_ins, a, bw):
+    """Fused single-region finalize over selected rows (native, OpenMP).
+
+    Extracts oriented windows from ``codes``/``pac`` in C (what
+    fast_fields did in numpy), runs the reg2aln tail, and returns
+    compact per-selection arrays:
+      (text, stride, cig_len, md_len, nm, lead_d, ref_consumed,
+       pos, clip5, clip3, status)
+    ``text`` holds CIGAR then MD bytes at ``k * stride`` for selection
+    slot k. status!=0 rows must fall back to the per-read path.
+    """
+    lib = get_lib()
+    sel = np.ascontiguousarray(sel, dtype=np.int32)
+    n = sel.shape[0]
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    lens = np.ascontiguousarray(lens, dtype=np.int32)
+    pac = np.ascontiguousarray(pac, dtype=np.uint8)
+    i64s = [np.ascontiguousarray(x, dtype=np.int64) for x in (qb, qe, rb, re)]
+    i32s = [np.ascontiguousarray(x, dtype=np.int32) for x in (truesc, w_reg)]
+    m = np.ascontiguousarray(mat, dtype=np.int8)
+    if n:
+        wq = int((i64s[1][sel] - i64s[0][sel]).max())
+        wt = int((i64s[3][sel] - i64s[2][sel]).max())
+    else:
+        wq = wt = 1
+    stride = 8 * (wq + wt) + 128
+    text = np.empty(n * stride, dtype=np.uint8)
+    outs32a = [np.zeros(n, dtype=np.int32) for _ in range(5)]
+    pos = np.zeros(n, dtype=np.int64)
+    outs32b = [np.zeros(n, dtype=np.int32) for _ in range(3)]
+    lib.finalize_fast2_c(
+        n, sel.ctypes.data_as(_I32P),
+        codes.ctypes.data_as(_U8P), codes.strides[0],
+        lens.ctypes.data_as(_I32P),
+        pac.ctypes.data_as(_U8P), int(l_pac), int(seq_len),
+        *[x.ctypes.data_as(_I64P) for x in i64s],
+        *[x.ctypes.data_as(_I32P) for x in i32s],
+        m.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        int(o_del), int(e_del), int(o_ins), int(e_ins), int(a), int(bw),
+        text.ctypes.data_as(ctypes.c_char_p), stride,
+        *[o.ctypes.data_as(_I32P) for o in outs32a],
+        pos.ctypes.data_as(_I64P),
+        *[o.ctypes.data_as(_I32P) for o in outs32b],
+    )
+    cig_len, md_len, nm, lead_d, ref_consumed = outs32a
+    clip5, clip3, status = outs32b
+    return (text, stride, cig_len, md_len, nm, lead_d, ref_consumed,
+            pos, clip5, clip3, status)
 
 
 def ksw_local_native(query, target, mat, o_del, e_del, o_ins, e_ins):

@@ -530,7 +530,14 @@ def collect_seeds_device(
         )
         new["overflow"] = new["overflow"] | ovf3
         nj = j + 1
-        row_done = in_bwd & (nj >= st["n_prev"])
+        # dead-column shortcut: with bw_i < 0 or an ambiguous base, EVERY
+        # candidate fails and no push happens, and only the first (longest;
+        # ends are descending in visit order) candidate can pass the
+        # last_start emit gate — so the whole column finishes in one
+        # iteration instead of n_prev (saves ~12 iters/read: pivot-0
+        # passes die at bw_i = -1 with a full candidate stack)
+        dead = in_bwd & ((bw_i < 0) | (qi >= 4))
+        row_done = in_bwd & ((nj >= st["n_prev"]) | dead)
         new["j"] = jnp.where(in_bwd, jnp.where(row_done, 0, nj), new["j"])
         bwd_finished = row_done & (new["n_curr"] == 0)
         cont = row_done & ~bwd_finished

@@ -145,3 +145,80 @@ def emit_sam(results: Iterable[ReadResult], index: FMIndex, seqs: list[str],
         for hit in res.hits:
             out.append(sam_record(res, hit, seqs[i], q) + "\n")
     return "".join(out)
+
+
+# --- columnar emission (align/columns.py AlignColumns) ---
+
+_FWD_TR = bytes.maketrans(bytes(range(5)), b"ACGTN")
+_REV_TR = bytes.maketrans(bytes(range(5)), b"TGCAN")
+
+
+def emit_sam_columns(cols, index: FMIndex, batch, header: bool = True,
+                     program_args: str = "", seqs: list[str] | None = None
+                     ) -> str:
+    """Render an AlignColumns batch to SAM text.
+
+    The throughput-path emitter: one primary line per fast row straight
+    from the columns (seq decoded with C-level bytes.translate, CIGAR/MD
+    sliced from the shared blob); rows with full multi-hit results
+    (cols.extra) go through the classic per-record path.
+
+    ``seqs`` (optional) supplies the original read text per row —
+    exotic IUPAC letters survive in the SEQ field instead of decoding
+    to N from the 2-bit-plus-ambiguity codes.
+    """
+    out = [sam_header(index, program_args)] if header else []
+    names = batch.names
+    quals = batch.qualities
+    codes = batch.codes
+    lens = batch.lens.tolist() if hasattr(batch.lens, "tolist") else batch.lens
+    mapped = cols.mapped.tolist()
+    pos = cols.pos.tolist()
+    rid = cols.rid.tolist()
+    mapq = cols.mapq.tolist()
+    nm = cols.nm.tolist()
+    score = cols.score.tolist()
+    is_rev = cols.is_rev.tolist()
+    toff = cols.toff.tolist()
+    cig_len = cols.cig_len.tolist()
+    md_len = cols.md_len.tolist()
+    blob = cols.text
+    ref_names = index.ref_names
+    extra = cols.extra
+    for i, name in enumerate(names):
+        if i in extra:
+            res = extra[i]
+            seq = (seqs[i] if seqs is not None
+                   else bytes(codes[i, : lens[i]]).translate(_FWD_TR).decode())
+            q = quals[i] if quals else None
+            if not res.hits:
+                out.append(sam_record(res, None, seq, q) + "\n")
+            else:
+                for hit in res.hits:
+                    out.append(sam_record(res, hit, seq, q) + "\n")
+            continue
+        q = quals[i] if quals else "*"
+        if not mapped[i]:
+            seq = (seqs[i] if seqs is not None
+                   else bytes(codes[i, : lens[i]]).translate(_FWD_TR).decode())
+            out.append(f"{name}\t4\t*\t0\t0\t*\t*\t0\t0\t{seq}\t{q}\n")
+            continue
+        if is_rev[i]:
+            seq = (revcomp(seqs[i]) if seqs is not None else
+                   bytes(codes[i, : lens[i]]).translate(_REV_TR)[::-1].decode())
+            if q != "*":
+                q = q[::-1]
+            flag = 16
+        else:
+            seq = (seqs[i] if seqs is not None else
+                   bytes(codes[i, : lens[i]]).translate(_FWD_TR).decode())
+            flag = 0
+        o = toff[i]
+        cig = blob[o : o + cig_len[i]].tobytes().decode("ascii")
+        md = blob[o + cig_len[i] : o + cig_len[i] + md_len[i]].tobytes().decode("ascii")
+        out.append(
+            f"{name}\t{flag}\t{ref_names[rid[i]]}\t{pos[i] + 1}\t{mapq[i]}"
+            f"\t{cig}\t*\t0\t0\t{seq}\t{q}\tAS:i:{score[i]}\tNM:i:{nm[i]}"
+            f"\tMD:Z:{md}\n"
+        )
+    return "".join(out)
