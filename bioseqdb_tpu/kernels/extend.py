@@ -378,6 +378,25 @@ def extend_all(
         overflow = overflow | ovf_now
         act = todo & ~ovf_now
 
+        # after the first 1-2 rounds most batches have ZERO active lanes
+        # left (short reads mostly extend once) — but the SW launches
+        # still cost real time per round (pallas grid overhead plus
+        # whole blocks kept alive by a stray lane). Runtime-skip the
+        # entire extension body when nothing is active; only the scan
+        # above is semantically needed every round.
+        def ext_body(carry2):
+            regs, n_regs, cursor, was_ext = carry2
+            return _extend_round(regs, n_regs, cursor, was_ext, act, slot)
+
+        def ext_skip(carry2):
+            return carry2
+
+        regs, n_regs, cursor, was_ext = jax.lax.cond(
+            jnp.any(act), ext_body, ext_skip, (regs, n_regs, cursor, was_ext)
+        )
+        return regs, n_regs, cursor, was_ext, overflow
+
+    def _extend_round(regs, n_regs, cursor, was_ext, act, slot):
         sq = dense.pick_row(seeds["qbeg"], slot)
         sr = dense.pick_row(seeds["rbeg"], slot)
         sl = dense.pick_row(slen, slot)
@@ -474,7 +493,7 @@ def extend_all(
             was_ext, slot, jnp.ones(B, jnp.bool_), act
         )
         cursor = jnp.where(act, cursor + 1, cursor)
-        return regs, n_regs, cursor, was_ext, overflow
+        return regs, n_regs, cursor, was_ext
 
     regs, n_regs, cursor, was_ext, overflow = jax.lax.fori_loop(
         0, max_rounds, round_body, (regs, n_regs, cursor, was_ext, overflow)
