@@ -210,6 +210,27 @@ def occ4B(fm: FMDevice, r, axis: str | None = None) -> jnp.ndarray:
     return occ4_stored(fm, r - (r > fm.primary).astype(r.dtype), axis)
 
 
+def occ4_from_quad(fm: FMDevice, q48, blk, off, mine,
+                   axis: str | None = None) -> jnp.ndarray:
+    """occ4 at a stored position from an ALREADY-GATHERED 192-byte quad
+    row (the dual-slot seeding loop shares quad fetches between rank
+    queries whose positions land in the same quad).
+
+    q48: (..., 48) int32 quad row containing block ``blk``;
+    blk = j >> 7, off = j & 127 for stored position j; ``mine`` is the
+    shard-ownership mask from the quad fetch (None when unsharded).
+    Must equal occ4_stored(fm, j) whenever q48 is blk's quad row."""
+    sub = q48.reshape(q48.shape[:-1] + (4, 12))
+    pick_idx = jnp.broadcast_to((blk & 3).astype(jnp.int32)[..., None],
+                                blk.shape + (12,))
+    row = _pick(sub, pick_idx, axis=-2)
+    cs = jnp.arange(4, dtype=jnp.int32)
+    cnt = _row_counts(row[..., None, :], jnp.broadcast_to(cs, blk.shape + (4,)),
+                      off[..., None])
+    m = jnp.clip(blk >> _LOG2_MAJOR, 0, fm.occ_majors.shape[0] - 1)
+    return _owner_sum(row[..., :4] + cnt, mine, axis) + _small_rows(fm.occ_majors, m)
+
+
 def backward_ext(fm: FMDevice, lo, hi, c, axis: str | None = None):
     """Extend pattern interval [lo, hi) by prepending code c. Batched.
 
