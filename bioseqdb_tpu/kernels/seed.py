@@ -144,7 +144,7 @@ def build_r3_jump(fm: kfm.FMDevice, depth: int | None = None,
     jax.jit,
     static_argnames=("min_seed_len", "split_width", "max_mem_intv", "split_len",
                      "max_cand", "max_mem", "max_iters", "shard_axis",
-                     "jump_base", "jump_depth"),
+                     "jump_base", "jump_depth", "dual"),
 )
 def collect_seeds_device(
     fm: kfm.FMDevice,
@@ -160,6 +160,7 @@ def collect_seeds_device(
     shard_axis: str | None = None,
     jump_base: int = 0,
     jump_depth: int = JUMP_DEPTH,
+    dual: bool = False,
 ):
     """Run all three seeding rounds for a batch of reads.
 
@@ -174,6 +175,18 @@ def collect_seeds_device(
     extensions (exact-equivalent: stops before depth min_seed_len are
     impossible, so the skipped states are unobservable).
 
+    ``dual`` switches to dual-slot scheduling: adjacent lane PAIRS share
+    two gather-row slots per iteration. 67% of extensions have both
+    rank positions in one 512-base quad row (1 slot), so a pair usually
+    advances both reads per iteration while gathering HALF the rows per
+    read of the classic mode. Results are exactly equal to
+    ``dual=False`` (tests/test_seed_dual.py); only the schedule differs.
+    MEASURED SLOWER on v5e (5-6x per iteration, BENCH_NOTES session 3):
+    per-kernel launch overhead dominates at these widths, and the
+    arbitration/row-select constructs cost far more than the gather
+    rows they save. Kept as a documented negative result — revisit on
+    hardware with cheaper per-op overhead.
+
     Returns dict with
       mems:  int32[B, max_mem, 5] — (k, l, s, start, end) per seed
       n_mem: int32[B]
@@ -183,8 +196,10 @@ def collect_seeds_device(
     P, M = max_cand, max_mem
     i32 = jnp.int32
     rdt = fm.seq_len.dtype  # rank dtype (int64 for >2^31 indexes)
+    if dual:
+        assert B % 2 == 0, "dual-slot seeding pairs adjacent lanes"
     if max_iters <= 0:
-        max_iters = 10 * W + 256
+        max_iters = (10 * W + 256) * (2 if dual else 1)
     J = jump_depth
     # stepwise r3 cannot stop before depth min_seed_len, so the jump is
     # only exact-equivalent when it skips strictly shorter depths
@@ -237,6 +252,10 @@ def collect_seeds_device(
         st["jpack"] = codes.astype(i32) | (
             (jnp.where(clean, key, -1) + 1) << 3)
         st["jkey_pend"] = jnp.zeros(B, i32)  # key latched at pivot time
+    if dual:
+        # pair arbitration fairness bit (even lane of each pair read;
+        # incoherence after compaction re-pairing is harmless)
+        st["pprio"] = jnp.zeros(B, i32)
     if DEBUG_CENSUS:
         st["ph_census"] = jnp.zeros((B, 6), i32)
         st["bwd_dead"] = jnp.zeros(B, i32)
@@ -430,13 +449,94 @@ def collect_seeds_device(
         if jump:
             # r3-jump lanes redirect their two gather slots at the prefix
             # table: rank A hits synthetic block base+2*key at offset 0,
-            # A + 128 the next row (_r3_jump_rows layout)
+            # A + 128 the next row (_r3_jump_rows layout; base is
+            # 64-aligned and keys take 2 rows, so both rows always share
+            # one quad — a 1-slot fetch under dual)
             in_r3j = phase == PH_R3J
             A = ((jnp.asarray(jump_base, rdt) + 2 * st["jkey_pend"])
                  * kfm.OCC_BLOCK + 1).astype(rdt)
             a = jnp.where(in_r3j, A, a)
             s_eff = jnp.where(in_r3j, kfm.OCC_BLOCK, s_eff)
-        k4, l4, s4 = kfm.fmd_extend_back(fm, a, b, s_eff, axis=shard_axis)
+        else:
+            in_r3j = jnp.zeros_like(in_fwd)
+        if not dual:
+            k4, l4, s4 = kfm.fmd_extend_back(fm, a, b, s_eff, axis=shard_axis)
+        else:
+            # ---- dual-slot schedule: 2 gather rows per lane PAIR ----
+            # Each extension needs occ4 at positions a and a+s. Quads
+            # (512-base / 192-byte rows) usually cover both; arbitrate
+            # the pair's two row slots between its two machines, gather
+            # once, and decode occ4 from the fetched quads.
+            live = in_fwd | in_bwd | in_r3 | in_r3j
+            r2p = a + s_eff
+            nmax = fm.blocks.shape[0] * kfm.OCC_BLOCK - 1
+            j1 = jnp.clip(a - (a > fm.primary).astype(rdt), 0, nmax)
+            j2 = jnp.clip(r2p - (r2p > fm.primary).astype(rdt), 0, nmax)
+            b1 = j1 >> 7
+            b2 = j2 >> 7
+            q1 = (b1 >> 2).astype(i32)
+            q2 = (b2 >> 2).astype(i32)
+            need = jnp.where(live, 1 + (q1 != q2).astype(i32), 0)
+            nA, nB = need[0::2], need[1::2]
+            prio = st["pprio"][0::2]
+            both_go = (nA + nB) <= 2
+            tie = ~both_go & (nA == nB)          # (2,2): fairness bit picks
+            winA = ~both_go & ((nA > nB) | (tie & (prio == 0)))
+            winB = ~both_go & ~winA
+            goA = (nA > 0) & (both_go | winA)
+            goB = (nB > 0) & (both_go | winB)
+            npq = jnp.where(tie, 1 - prio, prio)
+            st["pprio"] = jnp.stack([npq, npq], axis=1).reshape(-1)
+            q1A, q2A = q1[0::2], q2[0::2]
+            q1B, q2B = q1[1::2], q2[1::2]
+            # slot contents: granted machines in machine order; a lone
+            # 1-row grant duplicates its quad into the spare slot
+            slot0 = jnp.where(goA, q1A, jnp.where(goB, q1B, 0))
+            slot1 = jnp.where(
+                goA & (nA == 2), q2A,
+                jnp.where(goB, jnp.where(nB == 2, q2B, q1B),
+                          jnp.where(goA, q1A, 0)))
+            nq = fm.blocks.shape[0] // 4
+            # ONE flat gather (2-D index gathers and half-width strided
+            # math lower terribly on TPU — first draft ran 6x slower)
+            rows_flat, mine_flat = kfm._table_row(
+                fm.blocks.reshape(nq, 48),
+                jnp.stack([slot0, slot1], axis=1).reshape(-1), shard_axis)
+            pairs = rows_flat.reshape(-1, 2, 48)
+            rep2 = lambda v: jnp.repeat(v, 2, axis=0)
+            rows0m = rep2(pairs[:, 0])       # pair slot0 row, per machine
+            rows1m = rep2(pairs[:, 1])
+            # which slot serves each (machine, position): machine A's j1
+            # is always slot0; its j2 is slot1 iff it needs 2 rows;
+            # machine B sits in slot1 iff A was granted slot0
+            selA2 = goA & (nA == 2)
+            selB1 = goA
+            selB2 = jnp.where(nB == 2, True, selB1)
+            zs = jnp.zeros_like(selB1)
+            sel1 = jnp.stack([zs, selB1], axis=1).reshape(-1)
+            sel2 = jnp.stack([selA2, selB2], axis=1).reshape(-1)
+            row_j1 = jnp.where(sel1[:, None], rows1m, rows0m)
+            row_j2 = jnp.where(sel2[:, None], rows1m, rows0m)
+            if mine_flat is None:
+                mine_j1 = mine_j2 = None
+            else:
+                mp = mine_flat.reshape(-1, 2)
+                m0, m1 = rep2(mp[:, 0:1])[:, 0], rep2(mp[:, 1:2])[:, 0]
+                mine_j1 = jnp.where(sel1, m1, m0)
+                mine_j2 = jnp.where(sel2, m1, m0)
+            om = kfm.OCC_BLOCK - 1
+            o1 = kfm.occ4_from_quad(
+                fm, row_j1, b1, (j1 & om).astype(i32), mine_j1, shard_axis)
+            o2 = kfm.occ4_from_quad(
+                fm, row_j2, b2, (j2 & om).astype(i32), mine_j2, shard_axis)
+            k4, l4, s4 = kfm.fmd_extend_from_occ(fm, a, b, s_eff, o1, o2)
+            go = live & jnp.stack([goA, goB], axis=1).reshape(-1)
+            # machines not granted this iteration do nothing: gate every
+            # phase predicate (their extension runs on a later iteration)
+            in_fwd = in_fwd & go
+            in_bwd = in_bwd & go
+            in_r3 = in_r3 & go
+            in_r3j = in_r3j & go
         c_raw = qi
         c_ext = jnp.where(in_bwd, c_raw, 3 - c_raw)
         c_sel = jnp.clip(c_ext, 0, 3)
@@ -592,9 +692,21 @@ def collect_seeds_device(
             return chunked_while(cond, body, st)
         B2 = sizes[0]
         Bc = st["phase"].shape[0]
+        from bioseqdb_tpu.kernels.loops import LOOP_UNROLL
+
+        U = max(1, min(LOOP_UNROLL, 32))
+
+        def bodyU(_, s):
+            # U state-machine steps per loop iteration: each while/fori
+            # iteration boundary costs ~40 us regardless of the body
+            # (see loops.chunked_while)
+            for _ in range(U):
+                s = body(s)
+            return s
+
         st = jax.lax.while_loop(
             lambda s: jnp.sum(s["phase"] != PH_DONE) > B2,
-            lambda s: jax.lax.fori_loop(0, 32, lambda _, x: body(x), s),
+            lambda s: jax.lax.fori_loop(0, 32 // U, bodyU, s),
             st,
         )
         unfin = st["phase"] != PH_DONE

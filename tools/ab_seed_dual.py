@@ -1,13 +1,10 @@
-"""Per-iteration cost of the seeding loop at full width: run with small
-max_iters caps and difference the times. Separates the fused-gather
-cost (known from microbench_gather_dual) from the vector body.
+"""A/B: classic seeding at B reads vs dual-slot seeding at 2B reads
+(same rows/iteration, half the rows per read).
 
-    PYTHONPATH=. python tools/seed_iter_cost.py [batch]
+    PYTHONPATH=. python tools/ab_seed_dual.py [B=16384]
 """
 import sys; sys.path.insert(0, __file__.rsplit("/", 2)[0])  # noqa: E702
 import time
-
-import numpy as np
 
 
 def main():
@@ -31,7 +28,7 @@ def main():
     idx = build_index([("ecoli", genome)])
     fm = kfm.FMDevice.from_host(idx)
     fm, jb, jd = build_r3_jump(fm)
-    sim = simulate_reads(genome, B, read_len=150, sub_rate=0.01, seed=7)
+    sim = simulate_reads(genome, 2 * B, read_len=150, sub_rate=0.01, seed=7)
     rb = pack_reads(sim.reads, sim.names)
     codes = jnp.asarray(rb.codes, jnp.int32)
     lens = jnp.asarray(rb.lens, jnp.int32)
@@ -40,25 +37,19 @@ def main():
               split_width=opt.split_width, max_mem_intv=opt.max_mem_intv,
               jump_base=jb, jump_depth=jd, max_cand=16, max_mem=16)
 
-    import os
-
-    dual = os.environ.get("BST_SEED_DUAL") == "1"
-    prev_t, prev_cap = 0.0, 0
-    for cap in (64, 192, 320):
-        f = jax.jit(lambda c, l, cap=cap: collect_seeds_device(
-            fm, c, l, max_iters=cap, dual=dual, **kw)["n_mem"].sum())
-        jax.device_get(f(codes, lens))
+    for name, n, dual in (("classic", B, False), ("dual", 2 * B, True),
+                          ("dual-same-B", B, True)):
+        f = jax.jit(lambda c, l, dual=dual: collect_seeds_device(
+            fm, c, l, dual=dual, **kw)["n_mem"].sum())
+        c, l = codes[:n], lens[:n]
+        r = jax.device_get(f(c, l))
         t0 = time.time()
-        reps = 5
+        reps = 3
         for _ in range(reps):
-            jax.device_get(f(codes, lens))
+            r = jax.device_get(f(c, l))
         dt = (time.time() - t0) / reps
-        msg = f"cap {cap:4d}: {dt*1e3:7.1f} ms"
-        if prev_cap:
-            msg += (f"   -> {1e6*(dt-prev_t)/(cap-prev_cap):7.1f} us/iter"
-                    f" at full width")
-        print(msg, flush=True)
-        prev_t, prev_cap = dt, cap
+        print(f"{name:12s} B={n:6d}: {dt*1e3:7.1f} ms "
+              f"({n/dt:9.0f} reads/s) n_mem_sum={int(r)}", flush=True)
 
 
 if __name__ == "__main__":
