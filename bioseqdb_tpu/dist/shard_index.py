@@ -43,12 +43,17 @@ from bioseqdb_tpu.kernels import fm as kfm
 
 
 class FMSharded(NamedTuple):
-    """FM-index with rank tables split by row range across ``index``."""
+    """FM-index with rank tables split by row range across ``index``.
+
+    Device layouts follow kernels/fm.py FMDevice (octo block rows, flat
+    SA-mark arrays) — TPU tiled layouts pad narrow minor dims to 128
+    int32, so the natural shapes would blow HBM at human scale."""
 
     L2: jnp.ndarray            # (5,) replicated
     primary: jnp.ndarray       # () replicated
-    blocks: jnp.ndarray        # (n_shards, rows_per_shard, 12) P(index)
-    sa_bits: jnp.ndarray       # (n_shards, rows2_per_shard, 5) P(index)
+    blocks: jnp.ndarray        # (n_shards, rows_per_shard/8, 96) P(index)
+    sa_cnt: jnp.ndarray        # (n_shards, rows2_per_shard) P(index)
+    sa_words: jnp.ndarray      # (n_shards, rows2_per_shard*4) P(index)
     sa_sample: jnp.ndarray     # replicated
     occ_majors: jnp.ndarray    # replicated (tiny)
     sa_majors: jnp.ndarray     # replicated (tiny)
@@ -62,12 +67,11 @@ class FMSharded(NamedTuple):
 def shard_index(idx: FMIndex, mesh: Mesh, axis: str = "index") -> FMSharded:
     n_sh = mesh.shape[axis]
 
-    def split(arr, cols=None):
+    def split(arr, align: int = 1):
         rows = arr.shape[0]
-        # rows per shard in multiples of 4: block-row gathers go through
-        # the (rps/4, 48) quad view (kernels/fm.py _block_row), and shard
-        # boundaries must not bisect a quad
-        rps = ((rows + n_sh - 1) // n_sh + 3) & ~3
+        # shard boundaries must not bisect an octo block row (align=8
+        # for the Occ table)
+        rps = ((rows + n_sh - 1) // n_sh + align - 1) & ~(align - 1)
         pad = n_sh * rps - rows
         shape = (rows + pad,) + arr.shape[1:]
         out = np.zeros(shape, arr.dtype)
@@ -78,11 +82,18 @@ def shard_index(idx: FMIndex, mesh: Mesh, axis: str = "index") -> FMSharded:
     repl = NamedSharding(mesh, P())
     put_s = lambda x, dt: jax.device_put(jnp.asarray(x, dt), sharded)
     put_r = lambda x: jax.device_put(jnp.asarray(np.asarray(x), jnp.int32), repl)
+    blocks_sh = split(np.asarray(idx.blocks), align=kfm.OCT_BLOCKS)
+    blocks_oct = blocks_sh.reshape(
+        n_sh, blocks_sh.shape[1] // kfm.OCT_BLOCKS, 12 * kfm.OCT_BLOCKS)
+    sa_sh = split(np.asarray(idx.sa_bits))
     return FMSharded(
         L2=put_r(idx.L2),
         primary=put_r(idx.primary),
-        blocks=put_s(split(np.asarray(idx.blocks)), jnp.int32),
-        sa_bits=put_s(split(np.asarray(idx.sa_bits)), jnp.int32),
+        blocks=put_s(blocks_oct, jnp.int32),
+        sa_cnt=put_s(np.ascontiguousarray(sa_sh[:, :, 0]), jnp.int32),
+        sa_words=put_s(
+            np.ascontiguousarray(sa_sh[:, :, 1:]).reshape(n_sh, -1),
+            jnp.int32),
         sa_sample=put_r(idx.sa_sample),
         occ_majors=put_r(idx.occ_majors),
         sa_majors=put_r(idx.sa_majors),
@@ -99,7 +110,8 @@ def _local_fm(fms: FMSharded) -> kfm.FMDevice:
     shard dim of the sharded tables is 1 locally)."""
     return kfm.FMDevice(
         L2=fms.L2, primary=fms.primary, blocks=fms.blocks[0],
-        sa_sample=fms.sa_sample, sa_bits=fms.sa_bits[0],
+        sa_sample=fms.sa_sample, sa_cnt=fms.sa_cnt[0],
+        sa_words=fms.sa_words[0],
         occ_majors=fms.occ_majors, sa_majors=fms.sa_majors,
         ref_offsets=fms.ref_offsets, ref_lens=fms.ref_lens,
         l_pac=fms.l_pac, seq_len=fms.seq_len,
@@ -111,8 +123,8 @@ def _in_specs(mesh, axis, data_axis=None, n_batch=0):
     rep = P()
     batch = P(data_axis) if data_axis else P()
     fm_specs = FMSharded(
-        L2=rep, primary=rep, blocks=table, sa_bits=table, sa_sample=rep,
-        occ_majors=rep, sa_majors=rep,
+        L2=rep, primary=rep, blocks=table, sa_cnt=table, sa_words=table,
+        sa_sample=rep, occ_majors=rep, sa_majors=rep,
         pac=table, ref_offsets=rep, ref_lens=rep, l_pac=rep, seq_len=rep,
     )
     return (fm_specs,) + (batch,) * n_batch

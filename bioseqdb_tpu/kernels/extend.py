@@ -40,7 +40,10 @@ NEG = -(1 << 30)  # plain int: a module-level jnp scalar would be created UNDER
 # crashes in the jit fastpath)
 MAX_BAND_TRY = 2
 
-ROW_BASES = 128               # bases per packed-pac row (8 int32 words)
+ROW_BASES = 2048  # bases per packed-pac row: 128 int32 words — EXACTLY
+# one (8,128)-tile row, so the on-device table carries zero tiled-layout
+# column padding (an (n, 8) layout would occupy 16x its logical bytes
+# on HBM; 24.8 GB at GRCh38 scale — see kernels/fm.py pack_oct)
 
 
 def pack_doubled_rows(pac: np.ndarray) -> np.ndarray:
@@ -90,22 +93,25 @@ def window_doubled(pw: jnp.ndarray, seq_len, starts: jnp.ndarray, T: int):
     """Codes of the doubled text at [starts, starts+T) per lane;
     out-of-range positions read 4. pw: packed rows (pack_doubled_rows).
 
-    Row gathers + dense unpack + a 7-step barrel shift — no element
-    gathers."""
+    Row gathers + a word-level window shift + dense unpack + a 4-step
+    base-level shift — no element gathers. The word window is selected
+    BEFORE unpacking: with 2048-base rows, unpacking every gathered
+    base first would materialize a (B, NR*2048) int32 intermediate."""
     B = starts.shape[0]
     WPR = pw.shape[1]
-    NR = T // ROW_BASES + 2
+    NR = (T + ROW_BASES - 1) // ROW_BASES + 1
     r0 = jnp.floor_divide(starts, ROW_BASES)
     ridx = r0[:, None] + jnp.arange(NR, dtype=r0.dtype)[None, :]
     rows = pw[jnp.clip(ridx, 0, pw.shape[0] - 1)]      # (B, NR, WPR)
-    words = jax.lax.bitcast_convert_type(
-        rows.reshape(B, NR * WPR), jnp.uint32
-    )
+    words_all = rows.reshape(B, NR * WPR)
+    NW = (T + 15) // 16 + 1
+    woff = ((starts - r0 * ROW_BASES) >> 4).astype(jnp.int32)  # word offset
+    wwin = dense.shift_left(words_all, woff, WPR)[:, :NW]
+    words = jax.lax.bitcast_convert_type(wwin, jnp.uint32)
     shifts = ((15 - jnp.arange(16, dtype=jnp.uint32)) * 2)[None, None, :]
     bases = ((words[:, :, None] >> shifts) & 3).astype(jnp.int32)
-    stream = bases.reshape(B, NR * ROW_BASES)
-    off = (starts - r0 * ROW_BASES).astype(jnp.int32)
-    win = dense.shift_left(stream, off, ROW_BASES)[:, :T]
+    stream = bases.reshape(B, NW * 16)
+    win = dense.shift_left(stream, (starts & 15).astype(jnp.int32), 16)[:, :T]
     pos = starts[:, None] + jnp.arange(T, dtype=starts.dtype)[None, :]
     return jnp.where((pos >= 0) & (pos < seq_len), win, 4)
 

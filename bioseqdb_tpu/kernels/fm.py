@@ -37,14 +37,41 @@ _LOG2_MAJOR = MAJOR_BLOCKS.bit_length() - 1
 assert MAJOR_BLOCKS == 1 << _LOG2_MAJOR
 
 
+OCT_BLOCKS = 8  # Occ blocks per device row: 96 int32 per row
+
+
+def pack_oct(blocks: np.ndarray) -> np.ndarray:
+    """Host (n_blocks, 12) Occ table -> device octo layout (n/8, 96).
+
+    TPU tiled layouts pad a 2-D array's minor dim to 128 elements
+    inside compiled programs, so the natural (n, 12) table would occupy
+    ~10.7x its logical bytes on HBM (24.8 GB at GRCh38 scale — measured
+    OOM). 96-int32 rows pad to 128 (1.33x) and, as a bonus, gather
+    FASTER than 48-int32 quads at 8K rows (96w 69 us vs 48w 83,
+    BENCH_NOTES width sweep)."""
+    blocks = np.asarray(blocks)
+    if blocks.shape[0] % OCT_BLOCKS:
+        pad = -blocks.shape[0] % OCT_BLOCKS
+        blocks = np.concatenate(
+            [blocks, np.zeros((pad, blocks.shape[1]), blocks.dtype)])
+    return blocks.reshape(-1, 12 * OCT_BLOCKS)
+
+
 class FMDevice(NamedTuple):
-    """FM-index arrays resident on device. A pytree of jnp arrays."""
+    """FM-index arrays resident on device. A pytree of jnp arrays.
+
+    Device layouts are 128-int32-row-friendly (see pack_oct): ``blocks``
+    holds 8 Occ blocks per 96-int32 row; the SA-mark bit-rank table is
+    split into flat 1-D ``sa_cnt`` (per-128-rank counts) and
+    ``sa_words`` (the mark bitmap as int32 words — word of rank r is
+    simply ``sa_words[r >> 5]``)."""
 
     L2: jnp.ndarray          # (5,) int32
     primary: jnp.ndarray     # () int32
-    blocks: jnp.ndarray      # (n_blocks, 12) int32
+    blocks: jnp.ndarray      # (n_blocks/8, 96) int32 octo rows
     sa_sample: jnp.ndarray   # (n_marked,) int32 SA values of marked ranks
-    sa_bits: jnp.ndarray     # (nb, 5) int32 mark bit-rank blocks
+    sa_cnt: jnp.ndarray      # (nb,) int32 marks before each 128-rank row
+    sa_words: jnp.ndarray    # (nb*4,) int32 mark bitmap words
     occ_majors: jnp.ndarray  # (nm, 4) int32 major Occ checkpoints
     sa_majors: jnp.ndarray   # (nm2,) int32 major mark-count checkpoints
     ref_offsets: jnp.ndarray # (n_refs,) int32
@@ -69,20 +96,14 @@ class FMDevice(NamedTuple):
             )
         putr = lambda x: jax.device_put(jnp.asarray(np.asarray(x), rank_dtype), device)
         put32 = lambda x: jax.device_put(jnp.asarray(np.asarray(x), jnp.int32), device)
-        blocks = np.asarray(idx.blocks)
-        if blocks.shape[0] & 3:
-            # block-row gathers go through the (n/4, 48) quad view
-            # (_block_row): pad to a multiple of 4 rows (zero pad rows
-            # are only ever read as discarded quad thirds)
-            pad = -blocks.shape[0] & 3
-            blocks = np.concatenate(
-                [blocks, np.zeros((pad, blocks.shape[1]), blocks.dtype)])
+        sa_bits = np.ascontiguousarray(np.asarray(idx.sa_bits))
         return cls(
             L2=putr(idx.L2),
             primary=putr(idx.primary),
-            blocks=put32(blocks),
+            blocks=put32(pack_oct(idx.blocks)),
             sa_sample=putr(idx.sa_sample),
-            sa_bits=put32(idx.sa_bits),
+            sa_cnt=put32(sa_bits[:, 0]),
+            sa_words=put32(sa_bits[:, 1:].reshape(-1)),
             occ_majors=putr(idx.occ_majors),
             sa_majors=putr(idx.sa_majors),
             ref_offsets=putr(idx.ref_offsets),
@@ -94,6 +115,11 @@ class FMDevice(NamedTuple):
     @property
     def rank_dtype(self):
         return self.sa_sample.dtype
+
+    @property
+    def n_block_rows(self) -> int:
+        """Addressable Occ block count (including octo padding rows)."""
+        return self.blocks.shape[0] * OCT_BLOCKS
 
 
 def _small_rows(table: jnp.ndarray, idx: jnp.ndarray, limit: int = 128):
@@ -147,19 +173,16 @@ def _table_row(table: jnp.ndarray, blk: jnp.ndarray, axis: str | None):
 
 
 def _block_row(fm: FMDevice, blk: jnp.ndarray, axis: str | None):
-    """Gather the 12-int32 Occ block row ``blk`` through the (n/4, 48)
-    quad view of ``blocks``.
+    """Gather the 12-int32 Occ block row ``blk`` from the octo layout
+    (pack_oct: 8 blocks per 96-int32 device row).
 
     v5e dynamic gathers with rows >= 128 bytes lower to a ~2x cheaper
-    per-row path than 48-byte rows (6 vs 12 ns/row at 16K rows —
-    tools/microbench_gather_width*.py), and the quad view is a free
-    reshape, so every rank query fetches its block's 192-byte quad row
-    and selects the 48-byte sub-row with vector ops."""
-    n = fm.blocks.shape[0]
-    assert n % 4 == 0, "blocks row count must be a multiple of 4"
-    q48, mine = _table_row(fm.blocks.reshape(n // 4, 48), blk >> 2, axis)
-    sub = q48.reshape(q48.shape[:-1] + (4, 12))
-    pick_idx = jnp.broadcast_to((blk & 3).astype(jnp.int32)[..., None],
+    per-row path than 48-byte rows, and 96-int32 rows measured faster
+    still (BENCH_NOTES width sweep); the octo row also keeps the tiled
+    on-device layout within 1.33x of logical bytes (GRCh38-scale fit)."""
+    row96, mine = _table_row(fm.blocks, blk >> 3, axis)
+    sub = row96.reshape(row96.shape[:-1] + (OCT_BLOCKS, 12))
+    pick_idx = jnp.broadcast_to((blk & 7).astype(jnp.int32)[..., None],
                                 blk.shape + (12,))
     return _pick(sub, pick_idx, axis=-2), mine
 
@@ -210,18 +233,18 @@ def occ4B(fm: FMDevice, r, axis: str | None = None) -> jnp.ndarray:
     return occ4_stored(fm, r - (r > fm.primary).astype(r.dtype), axis)
 
 
-def occ4_from_quad(fm: FMDevice, q48, blk, off, mine,
+def occ4_from_quad(fm: FMDevice, q96, blk, off, mine,
                    axis: str | None = None) -> jnp.ndarray:
-    """occ4 at a stored position from an ALREADY-GATHERED 192-byte quad
-    row (the dual-slot seeding loop shares quad fetches between rank
-    queries whose positions land in the same quad).
+    """occ4 at a stored position from an ALREADY-GATHERED 96-int32 octo
+    row (the dual-slot seeding loop shares row fetches between rank
+    queries whose positions land in the same octo row).
 
-    q48: (..., 48) int32 quad row containing block ``blk``;
+    q96: (..., 96) int32 octo row containing block ``blk``;
     blk = j >> 7, off = j & 127 for stored position j; ``mine`` is the
-    shard-ownership mask from the quad fetch (None when unsharded).
-    Must equal occ4_stored(fm, j) whenever q48 is blk's quad row."""
-    sub = q48.reshape(q48.shape[:-1] + (4, 12))
-    pick_idx = jnp.broadcast_to((blk & 3).astype(jnp.int32)[..., None],
+    shard-ownership mask from the row fetch (None when unsharded).
+    Must equal occ4_stored(fm, j) whenever q96 is blk's octo row."""
+    sub = q96.reshape(q96.shape[:-1] + (OCT_BLOCKS, 12))
+    pick_idx = jnp.broadcast_to((blk & 7).astype(jnp.int32)[..., None],
                                 blk.shape + (12,))
     row = _pick(sub, pick_idx, axis=-2)
     cs = jnp.arange(4, dtype=jnp.int32)
@@ -311,20 +334,24 @@ def fmd_extend_fwd(fm: FMDevice, k, l, s, axis: str | None = None):
 
 
 def _sa_marked(fm: FMDevice, r: jnp.ndarray, axis: str | None = None) -> jnp.ndarray:
-    """Whether ranks carry a sampled SA value (batched bit lookup)."""
-    row, mine = _table_row(fm.sa_bits, r >> 7, axis)
-    words = jax.lax.bitcast_convert_type(row[..., 1:], jnp.uint32)
-    word = _pick(words, ((r >> 5) & 3), axis=-1)
+    """Whether ranks carry a sampled SA value (batched bit lookup).
+
+    The flat mark bitmap makes this ONE word gather: the word covering
+    rank r is ``sa_words[r >> 5]`` (FMDevice layout)."""
+    w, mine = _table_row(fm.sa_words, r >> 5, axis)
+    word = jax.lax.bitcast_convert_type(w, jnp.uint32)
     bit = ((word >> (r & 31).astype(jnp.uint32)) & 1).astype(jnp.int32)
     return _owner_sum(bit, mine, axis).astype(jnp.bool_)
 
 
 def _sa_slot(fm: FMDevice, r: jnp.ndarray, axis: str | None = None) -> jnp.ndarray:
     """Number of marked ranks before each rank (its sa_sample slot)."""
-    row, mine = _table_row(fm.sa_bits, r >> 7, axis)
-    words = jax.lax.bitcast_convert_type(row[..., 1:], jnp.uint32)
-    w = (r >> 5) & 3
+    r5 = r >> 7
     widx = jnp.arange(4, dtype=jnp.int32)
+    wraw, mine_w = _table_row(fm.sa_words, (r5 * 4)[..., None] + widx, axis)
+    words = jax.lax.bitcast_convert_type(wraw, jnp.uint32)
+    cnt, mine_c = _table_row(fm.sa_cnt, r5, axis)
+    w = (r >> 5) & 3
     bits = (r & 31).astype(jnp.uint32)
     # full words before w count entirely; word w counts bits below r&31
     nbits = jnp.where(
@@ -334,11 +361,16 @@ def _sa_slot(fm: FMDevice, r: jnp.ndarray, axis: str | None = None) -> jnp.ndarr
     # never shifts by >= 32 (undefined in XLA)
     mask = jnp.where(nbits >= 32, jnp.uint32(0xFFFFFFFF),
                      (jnp.uint32(1) << jnp.minimum(nbits, 31)) - jnp.uint32(1))
-    part = jax.lax.population_count(words & mask).sum(axis=-1).astype(jnp.int32)
+    masked = words & mask
+    if mine_w is not None:
+        masked = jnp.where(mine_w, masked, 0)
+    part = jax.lax.population_count(masked).sum(axis=-1).astype(jnp.int32)
+    if axis is not None:
+        part = jax.lax.psum(part, axis)
     major = _small_rows(
-        fm.sa_majors, jnp.clip((r >> 7) >> _LOG2_MAJOR, 0, fm.sa_majors.shape[0] - 1)
+        fm.sa_majors, jnp.clip(r5 >> _LOG2_MAJOR, 0, fm.sa_majors.shape[0] - 1)
     )
-    return _owner_sum(row[..., 0] + part, mine, axis) + major
+    return part + _owner_sum(cnt, mine_c, axis) + major
 
 
 def sa_resolve(fm: FMDevice, ranks: jnp.ndarray, sa_interval: int = 32,

@@ -112,7 +112,7 @@ def build_r3_jump(fm: kfm.FMDevice, depth: int | None = None,
     16 GB HBM at GRCh38 scale."""
     import numpy as np
 
-    n_blocks = int(fm.blocks.shape[0])
+    n_blocks = fm.n_block_rows  # octo layout: blocks.shape[0] * 8
     base = -(-n_blocks // kfm.MAJOR_BLOCKS) * kfm.MAJOR_BLOCKS
     if depth is None:
         if n_blocks * 48 >= _FAST_TIER_BYTES:
@@ -125,7 +125,8 @@ def build_r3_jump(fm: kfm.FMDevice, depth: int | None = None,
     max_rank = (base + 2 * K) * kfm.OCC_BLOCK + 2
     if fm.rank_dtype == jnp.int32 and max_rank >= 2**31:
         return fm, 0, 0
-    rows = _r3_jump_rows(fm, depth)
+    rows = _r3_jump_rows(fm, depth)  # (2K, 12) block rows; 2K % 8 == 0
+    rows_oct = rows.reshape(2 * K // kfm.OCT_BLOCKS, 12 * kfm.OCT_BLOCKS)
     majors_ext = jnp.concatenate(
         [fm.occ_majors, jnp.zeros((1, 4), fm.occ_majors.dtype)], axis=0)
     if host_blocks is not None and fm.blocks.nbytes > host_splice_threshold:
@@ -133,10 +134,11 @@ def build_r3_jump(fm: kfm.FMDevice, depth: int | None = None,
         ext = np.zeros((base + 2 * K, 12), np.int32)
         ext[: host_blocks.shape[0]] = host_blocks
         ext[base:] = np.asarray(jax.device_get(rows))
-        blocks_ext = jax.device_put(jnp.asarray(ext), dev)
+        blocks_ext = jax.device_put(jnp.asarray(kfm.pack_oct(ext)), dev)
     else:
-        pad = jnp.zeros((base - n_blocks, 12), jnp.int32)
-        blocks_ext = jnp.concatenate([fm.blocks, pad, rows], axis=0)
+        pad = jnp.zeros(((base - n_blocks) // kfm.OCT_BLOCKS,
+                         12 * kfm.OCT_BLOCKS), jnp.int32)
+        blocks_ext = jnp.concatenate([fm.blocks, pad, rows_oct], axis=0)
     return fm._replace(blocks=blocks_ext, occ_majors=majors_ext), base, depth
 
 
@@ -469,13 +471,13 @@ def collect_seeds_device(
             # once, and decode occ4 from the fetched quads.
             live = in_fwd | in_bwd | in_r3 | in_r3j
             r2p = a + s_eff
-            nmax = fm.blocks.shape[0] * kfm.OCC_BLOCK - 1
+            nmax = fm.n_block_rows * kfm.OCC_BLOCK - 1
             j1 = jnp.clip(a - (a > fm.primary).astype(rdt), 0, nmax)
             j2 = jnp.clip(r2p - (r2p > fm.primary).astype(rdt), 0, nmax)
             b1 = j1 >> 7
             b2 = j2 >> 7
-            q1 = (b1 >> 2).astype(i32)
-            q2 = (b2 >> 2).astype(i32)
+            q1 = (b1 >> 3).astype(i32)   # octo row ids (kfm.OCT_BLOCKS)
+            q2 = (b2 >> 3).astype(i32)
             need = jnp.where(live, 1 + (q1 != q2).astype(i32), 0)
             nA, nB = need[0::2], need[1::2]
             prio = st["pprio"][0::2]
@@ -496,13 +498,12 @@ def collect_seeds_device(
                 goA & (nA == 2), q2A,
                 jnp.where(goB, jnp.where(nB == 2, q2B, q1B),
                           jnp.where(goA, q1A, 0)))
-            nq = fm.blocks.shape[0] // 4
             # ONE flat gather (2-D index gathers and half-width strided
             # math lower terribly on TPU — first draft ran 6x slower)
             rows_flat, mine_flat = kfm._table_row(
-                fm.blocks.reshape(nq, 48),
+                fm.blocks,
                 jnp.stack([slot0, slot1], axis=1).reshape(-1), shard_axis)
-            pairs = rows_flat.reshape(-1, 2, 48)
+            pairs = rows_flat.reshape(-1, 2, 96)
             rep2 = lambda v: jnp.repeat(v, 2, axis=0)
             rows0m = rep2(pairs[:, 0])       # pair slot0 row, per machine
             rows1m = rep2(pairs[:, 1])
