@@ -75,6 +75,7 @@ def full_align_step(
     keep_mems: bool = False,
     jump_base: int = 0,
     jump_depth: int = 0,
+    isa_dev=None,
 ):
     """Jitted full BWA-MEM device pipeline for one batch: SMEM seeding ->
     seed resolution -> chaining -> chain filter -> banded-SW extension.
@@ -89,6 +90,9 @@ def full_align_step(
 
     # reads ship host->device as uint8 (4x less relay upload); compute
     # in int32
+    import os
+
+    serve_every = int(os.environ.get("BST_SERVE_EVERY", "16"))
     codes = codes.astype(jnp.int32)
     # smaller per-lane tables for short reads: the seeding loop rewrites
     # its whole state every iteration, so table bytes are HBM bandwidth;
@@ -98,7 +102,9 @@ def full_align_step(
     mems = collect_seeds_device(
         fm, codes, lens, min_seed_len=min_seed_len, split_len=split_len,
         split_width=split_width, max_mem_intv=max_mem_intv,
-        jump_base=jump_base, jump_depth=jump_depth, **caps,
+        jump_base=jump_base, jump_depth=jump_depth,
+        pac_rows=pac_dev, isa=isa_dev, sa_interval=sa_interval,
+        serve_every=serve_every, **caps,
     )
     seeds = resolve_seeds(fm, mems["mems"], mems["n_mem"],
                           max_occ=max_occ, max_seeds=max_seeds,
@@ -220,6 +226,7 @@ class Aligner:
     fms: object = None    # FMSharded when the mesh has an "index" axis
     jump_base: int = 0    # r3 prefix-jump table base block (0 = off)
     jump_depth: int = 0
+    isa_dev: object = None  # sampled ISA (s==1 fast-forward; None = off)
 
     @classmethod
     def build(cls, index: FMIndex, options: AlignOptions | None = None,
@@ -248,16 +255,23 @@ class Aligner:
             device = replicated(mesh)
         fm = kfm.FMDevice.from_host(index, device=device)
         jump_base = jump_depth = 0
+        isa_dev = None
         if mode == "full":
+            import os
+
             from bioseqdb_tpu.kernels.extend import pack_doubled_rows
             from bioseqdb_tpu.kernels.seed import build_r3_jump
 
             pac_dev = jax.device_put(
                 jnp.asarray(pack_doubled_rows(np.asarray(index.pac))), device
             )
-            if __import__("os").environ.get("BST_NO_R3_JUMP") != "1":
+            if os.environ.get("BST_NO_R3_JUMP") != "1":
                 fm, jump_base, jump_depth = build_r3_jump(
                     fm, host_blocks=np.asarray(index.blocks))
+            if os.environ.get("BST_NO_FF") != "1":
+                isa_dev = jax.device_put(
+                    jnp.asarray(index.isa_sample_array(), fm.rank_dtype),
+                    device)
         else:
             pac_dev = None
         return cls(
@@ -269,6 +283,7 @@ class Aligner:
             mesh=mesh,
             jump_base=jump_base,
             jump_depth=jump_depth,
+            isa_dev=isa_dev,
         )
 
     def _put_batch(self, batch: ReadBatch):
@@ -359,10 +374,11 @@ class Aligner:
 
         if os.environ.get("BST_NO_ONEJIT") == "1":
             out = full_align_step(self.fm, self.pac_dev, codes, lens, mat,
-                                  **common)
+                                  isa_dev=self.isa_dev, **common)
             return _pack_out_jit(out, cap=cap, narrow=narrow) if pack else out
         return _full_align_step_jit(self.fm, self.pac_dev, codes, lens, mat,
-                                    pack_cap=cap, pack_narrow=narrow, **common)
+                                    pack_cap=cap, pack_narrow=narrow,
+                                    isa_dev=self.isa_dev, **common)
 
     def _long_read_overflow(self, batch: ReadBatch, out: dict) -> dict:
         """Queries long enough to trigger mem_flt_chained_seeds (the

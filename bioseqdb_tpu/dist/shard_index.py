@@ -22,9 +22,11 @@ resolution, chaining, filtering, SW extension) over a 2-D
 ``index``; chaining/filter/SW are data-local, only the FM/pac lookups
 collect over ``index``.
 
-Single-shard rank values are int32; GRCh38's 6.2G doubled bases exceed
-int32 rank range, so true GRCh38 additionally needs int64 (or
-shard-relative) rank arithmetic — the documented follow-on.
+Rank values follow the index scale (shard_index auto-selects): int32
+below 2^31 doubled bases, int64 beyond (requires jax x64) — the packed
+tables stay int32 at any scale via the relative minor checkpoints, so
+GRCh38's 6.2G doubled bases shard with unchanged per-device HBM
+(tests/test_shard_index.py exercises the forced-int64 path end to end).
 """
 
 from __future__ import annotations
@@ -64,8 +66,23 @@ class FMSharded(NamedTuple):
     seq_len: jnp.ndarray
 
 
-def shard_index(idx: FMIndex, mesh: Mesh, axis: str = "index") -> FMSharded:
+def shard_index(idx: FMIndex, mesh: Mesh, axis: str = "index",
+                rank_dtype=None) -> FMSharded:
+    """Shard an index's rank tables across ``axis``.
+
+    Rank-VALUED arrays (L2, sampled SA, majors, annotations, lengths)
+    follow the index scale like the replicated path (FMDevice.from_host):
+    int32 below 2^31 doubled bases, int64 beyond (requires jax x64) —
+    the packed tables stay int32 at any scale via the relative minor
+    checkpoints, so sharded HBM per device is unchanged."""
     n_sh = mesh.shape[axis]
+    if rank_dtype is None:
+        rank_dtype = jnp.int64 if idx.seq_len + 1 >= 2**31 else jnp.int32
+    if rank_dtype == jnp.int64 and not jax.config.jax_enable_x64:
+        raise ValueError(
+            "index exceeds int32 rank range; enable x64 (jax.enable_x64) "
+            "to run it sharded on device"
+        )
 
     def split(arr, align: int = 1):
         rows = arr.shape[0]
@@ -81,7 +98,8 @@ def shard_index(idx: FMIndex, mesh: Mesh, axis: str = "index") -> FMSharded:
     sharded = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
     put_s = lambda x, dt: jax.device_put(jnp.asarray(x, dt), sharded)
-    put_r = lambda x: jax.device_put(jnp.asarray(np.asarray(x), jnp.int32), repl)
+    put_r = lambda x: jax.device_put(
+        jnp.asarray(np.asarray(x), rank_dtype), repl)
     blocks_sh = split(np.asarray(idx.blocks), align=kfm.OCT_BLOCKS)
     blocks_oct = blocks_sh.reshape(
         n_sh, blocks_sh.shape[1] // kfm.OCT_BLOCKS, 12 * kfm.OCT_BLOCKS)
@@ -152,8 +170,9 @@ def backward_search_sharded(fms: FMSharded, codes, lens, mesh: Mesh,
             hi = jnp.where(active, nhi, jnp.where(bad, 1, hi))
             return lo, hi
 
-        lo0 = jnp.zeros(B, jnp.int32)
-        hi0 = jnp.broadcast_to(fm.seq_len + 1, (B,)).astype(jnp.int32)
+        rdt = fm.seq_len.dtype
+        lo0 = jnp.zeros(B, rdt)
+        hi0 = jnp.broadcast_to(fm.seq_len + 1, (B,)).astype(rdt)
         lo, hi = jax.lax.fori_loop(0, W, step, (lo0, hi0))
         empty = (hi <= lo) | (lens == 0)
         return jnp.where(empty, 0, lo), jnp.where(empty, 0, hi)

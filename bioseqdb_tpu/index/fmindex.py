@@ -221,6 +221,42 @@ class FMIndex:
             steps += 1
         return int(self.sa_sample[self.sa_slot(r)]) + steps
 
+    def isa_sample_array(self) -> np.ndarray:
+        """Sampled inverse suffix array: ``isa[m // sa_interval]`` = the
+        conceptual rank of the suffix at position ``m`` for every
+        position multiple of ``sa_interval`` in ``[0, seq_len]``.
+
+        Derived (and cached) from the existing mark structures rather
+        than stored: the marked ranks in rank order are the set bits of
+        ``sa_bits``, and ``sa_sample`` holds their positions — the ISA
+        is the inverse of that pairing, so one streaming bit-unpack +
+        one scatter rebuilds it from any saved index (no format bump).
+        Powers the seeding fast-forward's rank-from-position queries
+        (kernels/fm.py isa_walk)."""
+        cached = getattr(self, "_isa_cache", None)
+        if cached is not None:
+            return cached
+        v = self.sa_interval
+        n_slots = self.seq_len // v + 1
+        isa = np.zeros(n_slots, dtype=self.sa_sample.dtype)
+        total = self.seq_len + 1  # conceptual ranks 0..seq_len
+        CH_ROWS = 1 << 20  # 128 ranks per sa_bits row
+        cursor = 0  # marked ranks consumed so far (= sa_sample cursor)
+        for b0 in range(0, self.sa_bits.shape[0], CH_ROWS):
+            words = self.sa_bits[b0 : b0 + CH_ROWS, 1:].astype(np.uint32)
+            bits = (
+                (words[:, :, None] >> np.arange(32, dtype=np.uint32)) & 1
+            ).astype(bool)
+            flat = bits.reshape(-1)  # rank-major within the chunk
+            ranks = np.flatnonzero(flat) + b0 * 128
+            ranks = ranks[ranks < total]
+            pos = self.sa_sample[cursor : cursor + ranks.shape[0]]
+            isa[np.asarray(pos) // v] = ranks.astype(isa.dtype)
+            cursor += ranks.shape[0]
+        assert cursor == len(self.sa_sample)
+        object.__setattr__(self, "_isa_cache", isa)
+        return isa
+
     # -- coordinate mapping ----------------------------------------------
 
     def depos(self, pos: int, length: int) -> tuple[int, bool]:

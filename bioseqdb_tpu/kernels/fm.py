@@ -373,6 +373,24 @@ def _sa_slot(fm: FMDevice, r: jnp.ndarray, axis: str | None = None) -> jnp.ndarr
     return part + _owner_sum(cnt, mine_c, axis) + major
 
 
+def lf_step(fm: FMDevice, r: jnp.ndarray, axis: str | None = None) -> jnp.ndarray:
+    """One LF step: rank of the suffix at position SA[r] - 1 (batched).
+
+    One-gather inv_psi: j = r - (r > primary); c = stored[j];
+    LF = L2[c] + occ_stored(c, j) + 1; the primary rank wraps to 0."""
+    j = r - (r > fm.primary).astype(r.dtype)
+    blk = j >> _LOG2_OCC_BLOCK
+    off = (j & (OCC_BLOCK - 1)).astype(jnp.int32)
+    row, mine = _block_row(fm, blk, axis)
+    words = jax.lax.bitcast_convert_type(row[..., 4:], jnp.uint32)
+    word = _pick(words, (off >> 4), axis=-1)
+    c = ((word >> (2 * (15 - (off & 15))).astype(jnp.uint32)) & 3).astype(jnp.int32)
+    ckpt = _pick(row[..., :4], c, axis=-1)
+    lf = _owner_sum(_lut(fm.L2, c) + ckpt + _row_counts(row, c, off) + 1, mine, axis)
+    lf = lf + _occ_major(fm, blk, c)
+    return jnp.where(r == fm.primary, 0, lf)
+
+
 def sa_resolve(fm: FMDevice, ranks: jnp.ndarray, sa_interval: int = 32,
                axis: str | None = None) -> jnp.ndarray:
     """Resolve conceptual ranks to doubled-text positions (batched).
@@ -387,25 +405,41 @@ def sa_resolve(fm: FMDevice, ranks: jnp.ndarray, sa_interval: int = 32,
     def body(_, state):
         r, steps = state
         done = _sa_marked(fm, r, axis)
-        # one-gather inv_psi: j = r - (r > primary); c = stored[j];
-        # LF = L2[c] + occ_stored(c, j) + 1
-        j = r - (r > fm.primary).astype(r.dtype)
-        blk = j >> _LOG2_OCC_BLOCK
-        off = j & (OCC_BLOCK - 1)
-        row, mine = _block_row(fm, blk, axis)
-        words = jax.lax.bitcast_convert_type(row[..., 4:], jnp.uint32)
-        word = _pick(words, (off >> 4), axis=-1)
-        c = ((word >> (2 * (15 - (off & 15))).astype(jnp.uint32)) & 3).astype(jnp.int32)
-        ckpt = _pick(row[..., :4], c, axis=-1)
-        lf = _owner_sum(_lut(fm.L2, c) + ckpt + _row_counts(row, c, off) + 1, mine, axis)
-        lf = lf + _occ_major(fm, blk, c)
-        nxt = jnp.where(r == fm.primary, 0, lf)
+        nxt = lf_step(fm, r, axis)
         r = jnp.where(done, r, nxt)
         steps = jnp.where(done, steps, steps + 1)
         return r, steps
 
     r, steps = jax.lax.fori_loop(0, sa_interval - 1, body, (r, steps))
     return fm.sa_sample[_sa_slot(fm, r, axis)] + steps
+
+
+def isa_walk(fm: FMDevice, isa: jnp.ndarray, pos: jnp.ndarray,
+             sa_interval: int, do: jnp.ndarray,
+             axis: str | None = None) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Rank of the suffix at doubled-text position ``pos`` (batched).
+
+    The inverse of ``sa_resolve``: anchor at the next position multiple
+    of ``sa_interval`` via the sampled inverse suffix array ``isa``
+    (isa[m // interval] = rank of the suffix at position m), then LF-walk
+    down at most ``sa_interval - 1`` steps (each LF moves one position
+    left). Returns (rank, ok); ``ok`` is False where no anchor exists
+    (pos within the final partial stripe, anchor > seq_len) — callers
+    must fall back to stepwise paths there. Lanes with ``do`` False are
+    masked (their gathers are clamped dummies)."""
+    v = sa_interval
+    p = pos.astype(fm.sa_sample.dtype)
+    anchor = ((p + (v - 1)) // v) * v
+    ok = do & (anchor <= fm.seq_len) & (p >= 0)
+    steps = jnp.where(ok, anchor - p, 0).astype(jnp.int32)
+    slot = jnp.clip(anchor // v, 0, isa.shape[0] - 1)
+    r = jnp.where(ok, isa[slot], 1)
+
+    def body(t, r):
+        return jnp.where((t < steps) & ok, lf_step(fm, r, axis), r)
+
+    r = jax.lax.fori_loop(0, v - 1, body, r)
+    return r, ok
 
 
 def depos(fm: FMDevice, pos: jnp.ndarray, length) -> tuple[jnp.ndarray, jnp.ndarray]:

@@ -26,7 +26,6 @@ import jax.numpy as jnp
 
 from bioseqdb_tpu.kernels import fm as kfm
 from bioseqdb_tpu.kernels import dense
-from bioseqdb_tpu.kernels.loops import chunked_while
 
 # phases
 PH_PIVOT = 0   # choose the next pivot / round transition
@@ -146,7 +145,8 @@ def build_r3_jump(fm: kfm.FMDevice, depth: int | None = None,
     jax.jit,
     static_argnames=("min_seed_len", "split_width", "max_mem_intv", "split_len",
                      "max_cand", "max_mem", "max_iters", "shard_axis",
-                     "jump_base", "jump_depth", "dual"),
+                     "jump_base", "jump_depth", "dual", "sa_interval",
+                     "serve_every"),
 )
 def collect_seeds_device(
     fm: kfm.FMDevice,
@@ -163,6 +163,10 @@ def collect_seeds_device(
     jump_base: int = 0,
     jump_depth: int = JUMP_DEPTH,
     dual: bool = False,
+    pac_rows: jnp.ndarray | None = None,
+    isa: jnp.ndarray | None = None,
+    sa_interval: int = 32,
+    serve_every: int = 32,
 ):
     """Run all three seeding rounds for a batch of reads.
 
@@ -176,6 +180,39 @@ def collect_seeds_device(
     at depth 8 via one prefix-table fetch instead of 8 stepwise
     extensions (exact-equivalent: stops before depth min_seed_len are
     impossible, so the skipped states are unobservable).
+
+    ``pac_rows`` + ``isa`` enable the **s==1 fast-forward** service: once
+    a lane's live interval is unique (s == 1), its single occurrence has
+    a fixed doubled-text position, and every further extension is
+    exactly equivalent to a direct packed-text comparison — so a
+    periodic (every ``serve_every`` body steps) batched service resolves
+    the position (sa_resolve), compares the read tail against
+    ``pac_rows`` (extend.pack_doubled_rows layout), and jumps the lane's
+    state over the whole matched run in one step:
+
+    - PH_FWD with ik.s == 1: the forward interval's k is INVARIANT while
+      s stays 1 (the occurrence start is fixed; extending right keeps
+      the same unique suffix), so the jump is {i += t, ik_end += t}; the
+      next stepwise iteration performs the mismatch/end step exactly.
+    - PH_BWD with a single s == 1 candidate: each matched column is
+      k <- LF(k); the landing k after t columns is the rank of the
+      suffix at (occurrence - t), recovered via the sampled inverse
+      suffix array (``isa``, kfm.isa_walk) instead of t LF steps.
+    - PH_R3 with ik.s == 1: the scan's remaining outcome (stop position,
+      emit-or-not) is fully determined (s <= 1 < max_mem_intv already,
+      so the scan stops at the first length >= min_seed_len), and k is
+      invariant — the service emits/stops directly.
+
+    Mems emitted through a fast-forwarded path carry ``l = 0``: the
+    l half of the bi-interval is mathematically dead after the forward
+    pass (backward extension's k/s updates never read l — fm.py
+    fmd_extend_from_occ — and no downstream stage reads mems[:, 1];
+    chain.resolve_seeds uses columns 0/2/3/4 only). Lanes the service
+    doesn't reach keep running stepwise between services, so results are
+    exactly equal with the service on or off (tests/test_seed_ff.py);
+    only iteration counts differ. Sharded seeding (``shard_axis``)
+    currently disables the service (the pac/isa tables are not sharded
+    yet — dist/shard_index.py).
 
     ``dual`` switches to dual-slot scheduling: adjacent lane PAIRS share
     two gather-row slots per iteration. 67% of extensions have both
@@ -288,9 +325,6 @@ def collect_seeds_device(
         buf = dense.put_row(buf, jnp.minimum(n, cap - 1), row, write)
         n = n + write.astype(i32)
         return buf, n, ovf
-
-    def cond(st):
-        return jnp.any(st["phase"] != PH_DONE)
 
     def pivot_step(st):
         """Pivot/bookkeeping transitions, applied BEFORE the shared
@@ -681,6 +715,113 @@ def collect_seeds_device(
 
         return new
 
+    # ---- s==1 fast-forward service (see docstring) ----
+    ff_on = (pac_rows is not None and isa is not None
+             and shard_axis is None and max_mem_intv > 1)
+
+    def service(st):
+        """Batched fast-forward of every lane currently in an s==1 state
+        (exact-equivalent state jump; see the collect_seeds_device
+        docstring). Runs between body chunks; lanes it misses simply
+        keep running stepwise until the next service."""
+        from bioseqdb_tpu.kernels.extend import window_doubled
+
+        st = dict(st)
+        phase, x, i, L = st["phase"], st["x"], st["i"], st["lens"]
+        Bc = phase.shape[0]  # compacted width, not the outer B
+        ik = st["ik"]
+        p0 = dense.pick_row(st["prev"], jnp.zeros(Bc, i32))
+        e_fwd = (phase == PH_FWD) & (ik[:, 2] == 1) & (i < L)
+        e_bwd = (
+            (phase == PH_BWD) & (st["n_prev"] == 1) & (st["j"] == 0)
+            & (p0[:, 2] == 1) & (st["min_intv"] == 1) & (i >= 0)
+        )
+        # r3 covers s <= 1: at s == 1 the scan outcome is the packed-text
+        # comparison; at s == 0 (dead scan — every occurrence already
+        # mismatched) the scan just burns steps to the fixed stop with no
+        # emit possible, so only the ambiguity/end preemption matters.
+        e_r3 = (phase == PH_R3) & (ik[:, 2] <= 1) & (i < L)
+        any_e = e_fwd | e_bwd | e_r3
+
+        # the unique occurrence's start position (of pattern [x, i) for
+        # fwd/r3; of the candidate pattern [i+1, end) for bwd)
+        rank = jnp.where(e_bwd, p0[:, 0], ik[:, 0])
+        rank = jnp.where(any_e, rank, 1)
+        pos = kfm.sa_resolve(fm, rank, sa_interval)
+
+        # one packed-text window per lane: forward lanes read the text
+        # right of the pattern end, backward lanes the W bases left of
+        # the occurrence (reversed). Out-of-range reads 4 == mismatch,
+        # which matches stepwise semantics (extending past the text or
+        # onto an ambiguous base kills the interval).
+        d = (i - x).astype(pos.dtype)
+        start = jnp.where(e_bwd, pos - W, pos + d)
+        win = window_doubled(pac_rows, fm.seq_len,
+                             jnp.where(any_e, start, 0), W)
+        rw_f = dense.shift_left(st["codes"], jnp.clip(i, 0, W), W, fill=4)
+        rw_b = dense.shift_left(st["codes"][:, ::-1],
+                                jnp.clip(W - 1 - i, 0, W), W, fill=4)
+        rd = jnp.where(e_bwd[:, None], rw_b, rw_f)
+        pc = jnp.where(e_bwd[:, None], win[:, ::-1], win)
+        m = (rd == pc) & (rd < 4) & (pc < 4)
+        t = jnp.where(jnp.any(~m, axis=1),
+                      jnp.argmax(~m, axis=1).astype(i32), W)
+
+        # PH_FWD jump: k is invariant while s == 1, but the landing l is
+        # NOT dead — the next (mismatch) step is a forward extension,
+        # whose occ queries run on the l side. Reconstruct it: l = rank
+        # of the reverse-complement suffix, which for the jumped pattern
+        # [x, i+t) occurring at ``pos`` starts at seq_len - pos - (i+t-x)
+        # (the doubled text is its own reverse complement), recovered via
+        # the sampled ISA.
+        rcpos = fm.seq_len - pos - (i + t - x).astype(pos.dtype)
+        lland, okf = kfm.isa_walk(fm, isa, rcpos, sa_interval, e_fwd & (t > 0))
+        do_f = e_fwd & (t > 0) & okf
+        st["i"] = jnp.where(do_f, i + t, st["i"])
+        st["ik_end"] = jnp.where(do_f, i + t, st["ik_end"])
+        st["ik"] = jnp.where(
+            do_f[:, None],
+            jnp.stack([ik[:, 0], lland, ik[:, 2]], axis=1),
+            st["ik"])
+
+        # PH_BWD jump: landing k = rank of suffix at (pos - t) via the
+        # sampled ISA; the next stepwise iteration fails the column and
+        # emits exactly.
+        kland, okb = kfm.isa_walk(fm, isa, pos - t.astype(pos.dtype),
+                                  sa_interval, e_bwd & (t > 0))
+        do_b = e_bwd & (t > 0) & okb
+        st["i"] = jnp.where(do_b, i - t, st["i"])
+        row_b = jnp.stack(
+            [kland, jnp.zeros_like(kland), jnp.ones_like(kland),
+             p0[:, 3]], axis=1)
+        st["prev"] = dense.put_row(st["prev"], jnp.zeros(Bc, i32), row_b, do_b)
+        st["rev1"] = jnp.where(do_b, False, st["rev1"])
+
+        # PH_R3: outcome fully determined — the scan stops at the first
+        # consumed position >= x + min_seed_len (s <= 1 < max_mem_intv),
+        # unless an ambiguous base / end-of-read preempts it.
+        tau_stop = (x + min_seed_len - i).astype(i32)
+        bad = rw_f >= 4
+        tau_bad = jnp.where(jnp.any(bad, axis=1),
+                            jnp.argmax(bad, axis=1).astype(i32), W)
+        e_r3 = e_r3 & (tau_stop >= 0)  # defensive: state invariant
+        pre = tau_bad <= tau_stop
+        span = jnp.arange(W, dtype=i32)[None, :] > tau_stop[:, None]
+        clean = jnp.all(m | span, axis=1)
+        is_end = (i + tau_bad) >= L
+        x3 = jnp.where(pre, jnp.where(is_end, L, i + tau_bad + 1),
+                       i + tau_stop + 1)
+        emit3 = e_r3 & (ik[:, 2] == 1) & ~pre & clean
+        row3 = jnp.stack(
+            [ik[:, 0], jnp.zeros_like(ik[:, 0]), jnp.ones_like(ik[:, 0]),
+             x.astype(rdt), (x + min_seed_len + 1).astype(rdt)], axis=1)
+        st["mems"], st["n_mem"], ovf3 = push_row(
+            st["mems"], st["n_mem"], row3, emit3)
+        st["overflow"] = st["overflow"] | ovf3
+        st["x"] = jnp.where(e_r3, x3, st["x"])
+        st["phase"] = jnp.where(e_r3, PH_PIVOT, st["phase"])
+        return st
+
     def run_compacting(st, sizes):
         """Run the state machine with progressive straggler compaction:
         run the full width until at most ``sizes[0]`` lanes are still
@@ -689,13 +830,10 @@ def collect_seeds_device(
         The per-lane iteration count is long-tailed (p50 ~630 vs max
         ~1260 for 150 bp reads), so the whole batch otherwise pays the
         slowest lane's trip count at full width."""
-        if not sizes:
-            return chunked_while(cond, body, st)
-        B2 = sizes[0]
-        Bc = st["phase"].shape[0]
         from bioseqdb_tpu.kernels.loops import LOOP_UNROLL
 
         U = max(1, min(LOOP_UNROLL, 32))
+        chunk = max(U, (serve_every // U) * U) if ff_on else 32
 
         def bodyU(_, s):
             # U state-machine steps per loop iteration: each while/fori
@@ -705,11 +843,20 @@ def collect_seeds_device(
                 s = body(s)
             return s
 
-        st = jax.lax.while_loop(
-            lambda s: jnp.sum(s["phase"] != PH_DONE) > B2,
-            lambda s: jax.lax.fori_loop(0, 32 // U, bodyU, s),
-            st,
-        )
+        def chunkf(s):
+            s = jax.lax.fori_loop(0, chunk // U, bodyU, s)
+            return service(s) if ff_on else s
+
+        def run_chunks(s, live_gt: int):
+            return jax.lax.while_loop(
+                lambda s: jnp.sum(s["phase"] != PH_DONE) > live_gt, chunkf, s
+            )
+
+        if not sizes:
+            return run_chunks(st, 0)
+        B2 = sizes[0]
+        Bc = st["phase"].shape[0]
+        st = run_chunks(st, B2)
         unfin = st["phase"] != PH_DONE
         slot = jnp.where(
             unfin, jnp.minimum(jnp.cumsum(unfin.astype(i32)) - 1, B2 - 1), B2
