@@ -40,6 +40,7 @@ class AlignColumns:
     mapq: np.ndarray         # int32[n]
     nm: np.ndarray           # int32[n] edit distance
     score: np.ndarray        # int32[n]
+    sub: np.ndarray          # int32[n] sub-optimal score (XS; -1 = none)
     is_rev: np.ndarray       # bool[n]
     qb: np.ndarray           # int64[n] query match begin
     qe: np.ndarray           # int64[n] query match end
@@ -88,7 +89,8 @@ def finalize_columns(
     cols = AlignColumns(
         n=B, mapped=np.zeros(B, bool), fast=fast.copy(),
         pos=z64(), ref_end=z64(), rid=z32(), mapq=z32(), nm=z32(),
-        score=z32(), is_rev=np.zeros(B, bool), qb=z64(), qe=z64(),
+        score=z32(), sub=np.full(B, -1, np.int32),
+        is_rev=np.zeros(B, bool), qb=z64(), qe=z64(),
         text=f.get("text", np.zeros(0, np.uint8)),
         toff=np.full(B, -1, np.int64), cig_len=z32(), md_len=z32(),
         extra={},
@@ -103,6 +105,7 @@ def finalize_columns(
         cols.mapq[sel] = f["mapq"][sel]
         cols.nm[sel] = f["nm"][sel]
         cols.score[sel] = f["score"][sel]
+        cols.sub[sel] = np.where(ok, 0, -1)  # single region: XS:i:0
         cols.is_rev[sel] = f["is_rev"][sel]
         cols.qb[sel] = f["qb"][sel]
         cols.qe[sel] = f["qe"][sel]
@@ -134,6 +137,7 @@ def finalize_columns(
             cols.mapq[i] = h.mapq
             cols.nm[i] = h.nm
             cols.score[i] = h.score
+            cols.sub[i] = h.sub
             cols.is_rev[i] = h.is_reverse
             cols.qb[i] = h.query_begin
             cols.qe[i] = h.query_end

@@ -119,6 +119,9 @@ def aln_to_hit(
         mapq=aln.mapq,
         nm=aln.NM,
         md=aln.MD,
+        # XS only on primary records (bwa mem_reg2sam: sub = -1 when
+        # p->secondary >= 0, else max(sub, csub) — reg2aln fills it)
+        sub=aln.sub if reg.secondary < 0 else -1,
         rid=aln.rid,
     )
 
@@ -342,6 +345,7 @@ def fast_hit(idx: FMIndex, f: dict, i: int, name: str,
         mapq=int(f["mapq"][i]),
         nm=int(f["nm"][i]),
         md=md,
+        sub=0,  # single region: sub = csub = 0 (XS:i:0, like bwa)
         rid=rid,
     )
 
@@ -398,6 +402,7 @@ def _finalize_fast(
             mapq=cols["mapq"][k],
             nm=cols["nm"][k],
             md=blob[off + cl : off + cl + ml].tobytes().decode("ascii"),
+            sub=0,  # single region: sub = csub = 0 (XS:i:0, like bwa)
             rid=rid,
         )])
     return fast, results

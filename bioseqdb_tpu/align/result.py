@@ -30,6 +30,8 @@ class Hit:
     mapq: int
     nm: int = 0          # edit distance (SAM NM tag)
     md: str = ""         # SAM MD tag ("" = not computed)
+    sub: int = -1        # sub-optimal score (SAM XS tag; -1 = not emitted,
+                         # bwa mem_aln2sam: XS only on primary records)
     rid: int = -1        # internal reference row index
     xa: str = ""         # SAM XA tag payload (alternate hits), "" = none
     is_supplementary: bool = False  # SAM 0x800: non-first primary part of a

@@ -76,11 +76,14 @@ def sam_record(result: ReadResult, hit: Hit | None, seq: str,
         "*", "0", "0",
         out_seq,
         out_qual,
-        f"AS:i:{hit.score}",
         f"NM:i:{getattr(hit, 'nm', 0)}",
     ]
+    # bwa mem_aln2sam tag order: NM, MD, AS, XS, (RG,) XA
     if getattr(hit, "md", ""):
         fields.append(f"MD:Z:{hit.md}")
+    fields.append(f"AS:i:{hit.score}")
+    if getattr(hit, "sub", -1) >= 0:
+        fields.append(f"XS:i:{hit.sub}")
     if getattr(hit, "xa", ""):
         fields.append(f"XA:Z:{hit.xa}")
     return "\t".join(fields)
@@ -114,9 +117,9 @@ def sam_record_pe(result: ReadResult, seq: str, qual: str | None = None) -> str:
         str(pe.tlen) if pe else "0",
         out_seq,
         out_qual,
-        f"AS:i:{hit.score}",
         f"NM:i:{hit.nm}",
-    ])
+        f"AS:i:{hit.score}",
+    ] + ([f"XS:i:{hit.sub}"] if hit.sub >= 0 else []))
 
 
 def emit_sam_pairs(pair_results, index: FMIndex, seqs1, seqs2,
@@ -178,6 +181,7 @@ def emit_sam_columns(cols, index: FMIndex, batch, header: bool = True,
     mapq = cols.mapq.tolist()
     nm = cols.nm.tolist()
     score = cols.score.tolist()
+    sub = cols.sub.tolist()
     is_rev = cols.is_rev.tolist()
     toff = cols.toff.tolist()
     cig_len = cols.cig_len.tolist()
@@ -218,7 +222,8 @@ def emit_sam_columns(cols, index: FMIndex, batch, header: bool = True,
         md = blob[o + cig_len[i] : o + cig_len[i] + md_len[i]].tobytes().decode("ascii")
         out.append(
             f"{name}\t{flag}\t{ref_names[rid[i]]}\t{pos[i] + 1}\t{mapq[i]}"
-            f"\t{cig}\t*\t0\t0\t{seq}\t{q}\tAS:i:{score[i]}\tNM:i:{nm[i]}"
-            f"\tMD:Z:{md}\n"
+            f"\t{cig}\t*\t0\t0\t{seq}\t{q}\tNM:i:{nm[i]}\tMD:Z:{md}"
+            f"\tAS:i:{score[i]}"
+            + (f"\tXS:i:{sub[i]}" if sub[i] >= 0 else "") + "\n"
         )
     return "".join(out)
