@@ -54,6 +54,14 @@ class AlignColumns:
     # full per-read results for rows not representable as one primary
     # column row (multi-hit output, overflows). Indexed by row id.
     extra: dict[int, ReadResult]
+    # paired-end columns (None for single-end batches; see
+    # align/paired.py finalize_pairs_columns): SAM flag bits beyond
+    # 0x10, mate position, template length, and the mate reference
+    # (-1 = '*', -2 = '=', else the mate's rid)
+    pe_flag: np.ndarray | None = None
+    pnext: np.ndarray | None = None
+    tlen: np.ndarray | None = None
+    rnext_rid: np.ndarray | None = None
 
     def cigar(self, i: int) -> str:
         o = int(self.toff[i])

@@ -422,6 +422,21 @@ class Aligner:
             self.index, self.options, batch1, out1, batch2, out2
         )
 
+    def align_pairs_columns(self, batch1: ReadBatch, batch2: ReadBatch):
+        """Columnar paired-end alignment (the PE throughput path):
+        returns (AlignColumns, AlignColumns) with PE columns attached —
+        render with sam.emit.emit_sam_pair_columns. Exactly equal to
+        align_pairs (align/paired.py finalize_pairs_columns)."""
+        if self.mode != "full":
+            raise ValueError("paired-end alignment requires mode='full'")
+        from bioseqdb_tpu.align.paired import finalize_pairs_columns
+
+        out1 = self._long_read_overflow(batch1, jax.device_get(self.device_regions(batch1)))
+        out2 = self._long_read_overflow(batch2, jax.device_get(self.device_regions(batch2)))
+        return finalize_pairs_columns(
+            self.index, self.options, batch1, out1, batch2, out2
+        )
+
     def _to_results(self, batch: ReadBatch, out: dict,
                     with_query_ids: bool) -> list[ReadResult]:
         idx = self.index

@@ -150,6 +150,75 @@ def emit_sam(results: Iterable[ReadResult], index: FMIndex, seqs: list[str],
     return "".join(out)
 
 
+def emit_sam_pair_columns(cols1, cols2, index: FMIndex, batch1, batch2,
+                          header: bool = True, program_args: str = "",
+                          seqs1: list[str] | None = None,
+                          seqs2: list[str] | None = None) -> str:
+    """Render a columnar PE batch (align/paired.py
+    finalize_pairs_columns) to interleaved SAM text — the PE counterpart
+    of emit_sam_columns. Fast rows render straight from the columns;
+    rows with full per-pair results (cols.extra) go through
+    sam_record_pe."""
+    out = [sam_header(index, program_args)] if header else []
+    ref_names = index.ref_names
+    ends = (
+        (cols1, batch1, seqs1),
+        (cols2, batch2, seqs2),
+    )
+    pulled = []
+    for cols, batch, seqs in ends:
+        pulled.append(dict(
+            names=batch.names, quals=batch.qualities, codes=batch.codes,
+            lens=(batch.lens.tolist() if hasattr(batch.lens, "tolist")
+                  else batch.lens),
+            mapped=cols.mapped.tolist(), pos=cols.pos.tolist(),
+            rid=cols.rid.tolist(), mapq=cols.mapq.tolist(),
+            nm=cols.nm.tolist(), score=cols.score.tolist(),
+            sub=cols.sub.tolist(), is_rev=cols.is_rev.tolist(),
+            toff=cols.toff.tolist(), cig_len=cols.cig_len.tolist(),
+            md_len=cols.md_len.tolist(), blob=cols.text,
+            pe_flag=cols.pe_flag.tolist(), pnext=cols.pnext.tolist(),
+            tlen=cols.tlen.tolist(), rnext_rid=cols.rnext_rid.tolist(),
+            extra=cols.extra, seqs=seqs,
+        ))
+    n = min(cols1.n, cols2.n)
+    for i in range(n):
+        for p in pulled:
+            if i in p["extra"]:
+                res = p["extra"][i]
+                seq = (p["seqs"][i] if p["seqs"] is not None else
+                       bytes(p["codes"][i, : p["lens"][i]])
+                       .translate(_FWD_TR).decode())
+                q = p["quals"][i] if p["quals"] else None
+                out.append(sam_record_pe(res, seq, q) + "\n")
+                continue
+            q = p["quals"][i] if p["quals"] else "*"
+            flag = int(p["pe_flag"][i]) | (16 if p["is_rev"][i] else 0)
+            if p["is_rev"][i]:
+                seq = (revcomp(p["seqs"][i]) if p["seqs"] is not None else
+                       bytes(p["codes"][i, : p["lens"][i]])
+                       .translate(_REV_TR)[::-1].decode())
+                if q != "*":
+                    q = q[::-1]
+            else:
+                seq = (p["seqs"][i] if p["seqs"] is not None else
+                       bytes(p["codes"][i, : p["lens"][i]])
+                       .translate(_FWD_TR).decode())
+            rr = p["rnext_rid"][i]
+            rnext = "*" if rr == -1 else ("=" if rr == -2 else ref_names[rr])
+            pnext = p["pnext"][i] + 1 if rr != -1 else 0
+            o = p["toff"][i]
+            cig = p["blob"][o : o + p["cig_len"][i]].tobytes().decode("ascii")
+            xs = f"\tXS:i:{p['sub'][i]}" if p["sub"][i] >= 0 else ""
+            out.append(
+                f"{p['names'][i]}\t{flag}\t{ref_names[p['rid'][i]]}"
+                f"\t{p['pos'][i] + 1}\t{p['mapq'][i]}\t{cig}\t{rnext}"
+                f"\t{pnext}\t{p['tlen'][i]}\t{seq}\t{q}"
+                f"\tNM:i:{p['nm'][i]}\tAS:i:{p['score'][i]}{xs}\n"
+            )
+    return "".join(out)
+
+
 # --- columnar emission (align/columns.py AlignColumns) ---
 
 _FWD_TR = bytes.maketrans(bytes(range(5)), b"ACGTN")

@@ -292,3 +292,30 @@ def test_pe_fast_path_matches_slow(setup):
             assert x.pe == y.pe, (x.query_name, x.pe, y.pe)
         n_fastpairs += 1
     assert n_fastpairs == 96
+
+
+def test_columns_pe_equal(setup):
+    """Columnar PE finalize + emitter == per-pair finalize + emitter,
+    byte-for-byte SAM (incl. flags, TLEN, MAPQ uplift, tags)."""
+    import jax
+
+    from bioseqdb_tpu.align.paired import finalize_pairs, finalize_pairs_columns
+    from bioseqdb_tpu.sam.emit import emit_sam_pair_columns
+
+    g, idx, r1, r2, inserts = setup
+    al = Aligner.build(idx, AlignOptions(), mode="full")
+    b1 = pack_reads(r1.reads, r1.names)
+    b2 = pack_reads(r2.reads, r2.names)
+    out1 = jax.device_get(al.device_regions(b1))
+    out2 = jax.device_get(al.device_regions(b2))
+    pairs = finalize_pairs(idx, al.options, b1, out1, b2, out2)
+    want = emit_sam_pairs(pairs, idx, list(r1.reads), list(r2.reads))
+    cols1, cols2 = finalize_pairs_columns(idx, al.options, b1, out1, b2, out2)
+    got = emit_sam_pair_columns(cols1, cols2, idx, b1, b2,
+                                seqs1=list(r1.reads), seqs2=list(r2.reads))
+    assert cols1.fast.any()  # the vector path actually ran
+    if got != want:
+        import difflib
+        diff = "\n".join(difflib.unified_diff(
+            want.splitlines(), got.splitlines(), lineterm="", n=1))
+        raise AssertionError(diff[:4000])

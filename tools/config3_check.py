@@ -71,25 +71,52 @@ def main():
             if r.hits and r.hits[0].ref_begin == p and r.hits[0].is_reverse == bool(s):
                 ok += 1
         pending = nxt
-    dt = time.time() - t0
-    log(f"single-end: {total} reads in {dt:.1f}s = {total/dt:.0f} reads/s; "
+    dt_se = time.time() - t0
+    log(f"single-end: {total} reads in {dt_se:.1f}s = {total/dt_se:.0f} reads/s; "
         f"truth {ok}/{total} ({100*ok/total:.2f}%)")
 
-    # paired-end sample
-    sr1, sr2, _ = simulate_pairs(genome, n_pairs, read_len=150, sub_rate=0.01,
-                                 insert_mean=400, insert_std=40, seed=77)
-    b1 = pack_reads(sr1.reads, sr1.names)
-    b2 = pack_reads(sr2.reads, sr2.names)
+    # paired-end: columnar finalize (align_pairs_columns), device compute
+    # of batch k+1 overlapping host finalize of batch k — the PE
+    # counterpart of the SE loop above. VERDICT r1 item 5's gate:
+    # PE reads/s within 1.5x of the SE reads/s.
+    from bioseqdb_tpu.align.paired import finalize_pairs_columns
+
+    PB = min(B, n_pairs)
+    n_pb = max(1, n_pairs // PB)
+    psims, pbatches = [], []
+    for k in range(n_pb):
+        sr1, sr2, _ = simulate_pairs(genome, PB, read_len=150, sub_rate=0.01,
+                                     insert_mean=400, insert_std=40,
+                                     seed=700 + k)
+        psims.append((sr1, sr2))
+        pbatches.append((pack_reads(sr1.reads, sr1.names),
+                         pack_reads(sr2.reads, sr2.names)))
+    dev = lambda k: (al.device_regions(pbatches[k][0]),
+                     al.device_regions(pbatches[k][1]))
+    w1, w2 = dev(0)
+    finalize_pairs_columns(idx, al.options, pbatches[0][0],
+                           jax.device_get(w1), pbatches[0][1],
+                           jax.device_get(w2))  # compile/warm
     t0 = time.time()
-    pairs = al.align_pairs(b1, b2)
+    pending = dev(0)
+    okp = totp = proper = 0
+    for k in range(n_pb):
+        nxt = dev(k + 1) if k + 1 < n_pb else None
+        o1, o2 = jax.device_get(pending[0]), jax.device_get(pending[1])
+        c1, c2 = finalize_pairs_columns(
+            idx, al.options, pbatches[k][0], o1, pbatches[k][1], o2)
+        sr1 = psims[k][0]
+        okp += int((c1.mapped[:PB] & (c1.pos[:PB] == sr1.positions)).sum())
+        proper += int((c1.pe_flag[:PB] & 0x2 > 0).sum())
+        totp += PB
+        pending = nxt
     dt = time.time() - t0
-    okp = 0
-    for (r1, r2), p1 in zip(pairs, sr1.positions):
-        if r1.hits and r1.hits[0].ref_begin == p1:
-            okp += 1
-    log(f"paired-end: {n_pairs} pairs in {dt:.1f}s = {n_pairs/dt:.0f} pairs/s; "
-        f"R1 truth {okp}/{n_pairs} ({100*okp/n_pairs:.2f}%)")
-    log("CONFIG 3: PASS" if ok >= 0.98 * total and okp >= 0.95 * n_pairs
+    log(f"paired-end (columnar): {totp} pairs ({2*totp} reads) in {dt:.1f}s"
+        f" = {totp/dt:.0f} pairs/s = {2*totp/dt:.0f} reads/s;"
+        f" R1 truth {okp}/{totp} ({100*okp/totp:.2f}%),"
+        f" proper {100*proper/totp:.1f}%; PE/SE reads ratio"
+        f" {(2*totp/dt)/(total/max(dt_se,1e-9)):.2f}")
+    log("CONFIG 3: PASS" if ok >= 0.98 * total and okp >= 0.95 * totp
         else "CONFIG 3: DEGRADED")
 
 
