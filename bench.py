@@ -82,14 +82,20 @@ def bench_full(jax, idx, genome, batch_size=None, n_batches=6):
     _log(f"pass times: {dt1:.2f}s / {dt2:.2f}s per {n_batches} batches")
     total = batch_size * n_batches
 
-    ok = 0
+    ok = novf = 0
     for cols, sim in zip(results, sims):
         n = len(sim.positions)
         ok += int((cols.mapped[:n] & (cols.pos[:n] == sim.positions)
                    & (cols.is_rev[:n] == sim.strands.astype(bool))).sum())
-    _log(f"truth: {ok}/{total}")
+        # overflow telemetry: reads that exceeded any device cap and fell
+        # back to the host oracle (they are counted in the timing; a
+        # nonzero rate at scale would make host finalize the ceiling)
+        novf += len(cols.extra)
+    _log(f"truth: {ok}/{total}; overflow/slow-path reads: {novf}/{total} "
+         f"({100 * novf / total:.3f}%)")
     assert ok >= 0.98 * total, "bench correctness check failed"
-    return total / dt
+    return total / dt, dict(pass1_s=round(dt1, 3), pass2_s=round(dt2, 3),
+                            truth=ok, total=total, overflow_reads=novf)
 
 
 def bench_exact(jax, idx, genome, batch=16384, iters=5):
@@ -134,8 +140,9 @@ def main() -> int:
     idx = build_index([("ecoli", genome)])
     _log(f"index built in {time.time() - t0:.1f}s; device={jax.devices()[0]}")
 
+    stats = {}
     try:
-        rps = bench_full(jax, idx, genome)
+        rps, stats = bench_full(jax, idx, genome)
         metric = ("150bp reads/s/chip, full BWA-MEM pipeline "
                   "(1% mutated reads, E.coli-scale index)")
     except Exception as e:  # compile budget / tunnel flakes: keep a result
@@ -144,11 +151,14 @@ def main() -> int:
         rps = bench_exact(jax, idx, genome)
         metric = "150bp exact-match reads/s/chip (E.coli-scale index)"
 
+    # both pass times + overflow rate ride along so the round-over-round
+    # perf signal is auditable (VERDICT r1 items 2 and 7)
     print(json.dumps({
         "metric": metric,
         "value": round(rps),
         "unit": "reads/s",
         "vs_baseline": round(rps / 1_000_000, 4),
+        **stats,
     }))
     return 0
 

@@ -76,17 +76,19 @@ def _cmd_align(args) -> int:
         out.write(sam_header(idx, program_args=" ".join(sys.argv[1:]),
                              read_group=args.rg))
         if args.mate:
-            from bioseqdb_tpu.sam.emit import emit_sam_pairs
+            from bioseqdb_tpu.sam.emit import emit_sam_pair_columns
 
             it1 = pack_reads_from_file(args.reads, batch_size=args.batch_size)
             it2 = pack_reads_from_file(args.mate, batch_size=args.batch_size)
             with trace:
                 for b1, b2 in zip(it1, it2):
-                    pairs = aligner.align_pairs(b1, b2)
-                    s1 = [b1.read_text(i) for i in range(b1.n)]
-                    s2 = [b2.read_text(i) for i in range(b2.n)]
-                    out.write(emit_sam_pairs(pairs, idx, s1, s2, b1.qualities,
-                                             b2.qualities, header=False))
+                    with timer.stage("align_pe", b1.n + b2.n):
+                        c1, c2 = aligner.align_pairs_columns(b1, b2)
+                        s1 = [b1.read_text(i) for i in range(b1.n)]
+                        s2 = [b2.read_text(i) for i in range(b2.n)]
+                        out.write(emit_sam_pair_columns(
+                            c1, c2, idx, b1, b2, header=False,
+                            seqs1=s1, seqs2=s2))
                     n += b1.n + b2.n
         elif args.mode == "exact":
             with trace:

@@ -251,11 +251,17 @@ def collect_seeds_device(
         i=jnp.zeros(B, i32),                      # scan position
         ik=jnp.zeros((B, 3), rdt),                # current bi-interval
         ik_end=jnp.zeros(B, i32),
-        cand=jnp.zeros((B, P, 4), rdt),           # forward candidates (k,l,s,end)
+        # candidate tables carry (k, s, end) — the l half of the
+        # bi-interval is dead once a pass turns backward (backward
+        # extension's k/s updates never read l, fm.fmd_extend_from_occ,
+        # and mems' l column is unread downstream), and dropping it cuts
+        # the loop's dominant HBM cost: the state tables are rewritten
+        # every iteration.
+        cand=jnp.zeros((B, P, 3), rdt),           # (k, s, end)
         n_cand=jnp.zeros(B, i32),
-        prev=jnp.zeros((B, P, 4), rdt),
+        prev=jnp.zeros((B, P, 3), rdt),
         n_prev=jnp.zeros(B, i32),
-        curr=jnp.zeros((B, P, 4), rdt),
+        curr=jnp.zeros((B, P, 3), rdt),
         n_curr=jnp.zeros(B, i32),
         j=jnp.zeros(B, i32),                      # index into prev
         ret=jnp.zeros(B, i32),                    # next pivot after smem1
@@ -446,7 +452,7 @@ def collect_seeds_device(
             biv = dense.pick_row(st["prev"], jnp.clip(je, 0, P - 1))
             kk = jnp.where(st["phase"] == PH_BWD, biv[:, 0], st["ik"][:, 0])
             ss = jnp.maximum(
-                jnp.where(st["phase"] == PH_BWD, biv[:, 2], st["ik"][:, 2]), 0)
+                jnp.where(st["phase"] == PH_BWD, biv[:, 1], st["ik"][:, 2]), 0)
             p1 = kk - (kk > fm.primary).astype(kk.dtype)
             k2 = kk + ss
             p2 = k2 - (k2 > fm.primary).astype(k2.dtype)
@@ -476,8 +482,10 @@ def collect_seeds_device(
         j_eff = jnp.where(st["rev1"], st["n_prev"] - 1 - j, j)
         bwd_iv = dense.pick_row(st["prev"], jnp.clip(j_eff, 0, P - 1))  # (B, 4)
         src_k = jnp.where(in_bwd, bwd_iv[:, 0], st["ik"][:, 0])
-        src_l = jnp.where(in_bwd, bwd_iv[:, 1], st["ik"][:, 1])
-        src_s = jnp.where(in_bwd, bwd_iv[:, 2], st["ik"][:, 2])
+        # backward lanes have no live l (dropped column): 0 feeds the
+        # dead l4 side only
+        src_l = jnp.where(in_bwd, 0, st["ik"][:, 1])
+        src_s = jnp.where(in_bwd, bwd_iv[:, 1], st["ik"][:, 2])
         # unify: fwd == back on the (l, k) swap + code flip
         a = jnp.where(in_bwd, src_k, src_l)
         b = jnp.where(in_bwd, src_l, src_k)
@@ -600,9 +608,9 @@ def collect_seeds_device(
         fwd_end_of_read = in_fwd & (i >= L)
         fwd_amb = in_fwd & (i < L) & (qi >= 4)
         fwd_ext = in_fwd & (i < L) & (qi < 4)
-        ik_row = jnp.concatenate(
-            [st["ik"], st["ik_end"][:, None].astype(rdt)], axis=1
-        )
+        ik_row = jnp.stack(
+            [st["ik"][:, 0], st["ik"][:, 2], st["ik_end"].astype(rdt)],
+            axis=1)
         # push current ik when: end-of-read, ambiguous, or size change
         size_change = fwd_ext & (ok_s != st["ik"][:, 2])
         push_fwd = fwd_end_of_read | fwd_amb | size_change
@@ -626,7 +634,7 @@ def collect_seeds_device(
         # ret (next round-1 pivot) = end of the longest candidate = last pushed
         lastc = jnp.clip(new["n_cand"] - 1, 0, P - 1)
         new["ret"] = jnp.where(
-            fwd_done, dense.pick_row(new["cand"][:, :, 3], lastc).astype(i32),
+            fwd_done, dense.pick_row(new["cand"][:, :, 2], lastc).astype(i32),
             st["ret"],
         )
         new["i"] = jnp.where(fwd_done, x - 1, new["i"])
@@ -642,11 +650,13 @@ def collect_seeds_device(
         fail = in_bwd & (~c_ok | (c_ok & (ok_s < st["min_intv"])))
         emit = fail & (st["n_curr"] == 0) & (bw_i + 1 < st["last_start"])
         # round filters: emit only seeds meeting the round's length rule
-        slen = (p_iv[:, 3].astype(i32)) - (bw_i + 1)
+        slen = (p_iv[:, 2].astype(i32)) - (bw_i + 1)
         emit = emit & (slen >= min_seed_len)
+        # mems keep the 5-wide (k, l, s, start, end) interface with
+        # l = 0 (dead downstream; chain.resolve_seeds reads 0/2/3/4)
         mem_row = jnp.stack(
-            [p_iv[:, 0], p_iv[:, 1], p_iv[:, 2],
-             (bw_i + 1).astype(rdt), p_iv[:, 3]], axis=1
+            [p_iv[:, 0], jnp.zeros_like(p_iv[:, 0]), p_iv[:, 1],
+             (bw_i + 1).astype(rdt), p_iv[:, 2]], axis=1
         )
         new["mems"], new["n_mem"], ovf2 = push_row(
             new["mems"], new["n_mem"], mem_row, emit
@@ -656,10 +666,10 @@ def collect_seeds_device(
         # grow curr when extension survives and size differs from last pushed
         keep = in_bwd & c_ok & (ok_s >= st["min_intv"])
         lastq = jnp.clip(st["n_curr"] - 1, 0, P - 1)
-        last_s = dense.pick_row(st["curr"][:, :, 2], lastq)
+        last_s = dense.pick_row(st["curr"][:, :, 1], lastq)
         distinct = (st["n_curr"] == 0) | (ok_s != last_s)
         push_bwd = keep & distinct
-        curr_row = jnp.stack([ok_k, ok_l, ok_s, p_iv[:, 3].astype(rdt)], axis=1)
+        curr_row = jnp.stack([ok_k, ok_s, p_iv[:, 2].astype(rdt)], axis=1)
         new["curr"], new["n_curr"], ovf3 = push_row(
             new["curr"], new["n_curr"], curr_row, push_bwd
         )
@@ -743,7 +753,7 @@ def collect_seeds_device(
         e_fwd = (phase == PH_FWD) & (ik[:, 2] == 1) & (i < L)
         e_bwd = (
             (phase == PH_BWD) & (st["n_prev"] == 1) & (st["j"] == 0)
-            & (p0[:, 2] == 1) & (st["min_intv"] == 1) & (i >= 0)
+            & (p0[:, 1] == 1) & (st["min_intv"] == 1) & (i >= 0)
         )
         # r3 covers s <= 1: at s == 1 the scan outcome is the packed-text
         # comparison; at s == 0 (dead scan — every occurrence already
@@ -800,12 +810,15 @@ def collect_seeds_device(
 
         # landing l for fwd jumps (rank of the reverse-complement suffix
         # of the jumped pattern — see docstring) and landing k for bwd
-        # jumps, both via the sampled ISA
+        # jumps — ONE fused ISA walk (per-op dispatch floors dominate the
+        # service cost at compact widths, so every op counts)
         rcpos = fm.seq_len - pos - (iK + tK - xK).astype(pos.dtype)
-        llandK, okfK = kfm.isa_walk(fm, isa, rcpos, sa_interval,
-                                    fK & (tK > 0))
-        klandK, okbK = kfm.isa_walk(fm, isa, pos - tK.astype(pos.dtype),
-                                    sa_interval, bK & (tK > 0))
+        posw = jnp.concatenate([rcpos, pos - tK.astype(pos.dtype)])
+        dow = jnp.concatenate([fK & (tK > 0), bK & (tK > 0)])
+        landw, okw = kfm.isa_walk(fm, isa, posw, sa_interval, dow)
+        Kc = rcpos.shape[0]
+        llandK, okfK = landw[:Kc], okw[:Kc]
+        klandK, okbK = landw[Kc:], okw[Kc:]
 
         # r3 verdict: the scan stops at the first consumed position
         # >= x + min_seed_len (s <= 1 < max_mem_intv), unless an
@@ -822,21 +835,25 @@ def collect_seeds_device(
                         iK + tau_stop + 1)
         emit3K = rK & (ikK[:, 2] == 1) & ~pre & clean
 
-        # ---- scatter verdicts back; apply at full width ----
+        # ---- scatter verdicts back (3 packed scatters); apply wide ----
         tgt = jnp.where(lane_of >= 0, lane_of, Bc)
 
-        def scat(vK, fill, dt):
-            return jnp.full(Bc + 1, fill, dt).at[tgt].set(
+        def scat2(vK, dt):
+            return jnp.zeros((Bc + 1, vK.shape[1]), dt).at[tgt].set(
                 vK, mode="drop")[:Bc]
 
-        t = scat(tK, 0, i32)
-        do_f = scat(fK & (tK > 0) & okfK, False, jnp.bool_)
-        lland = scat(llandK, 0, rdt)
-        do_b = scat(bK & (tK > 0) & okbK, False, jnp.bool_)
-        kland = scat(klandK, 0, rdt)
-        svc_r3 = scat(rK, False, jnp.bool_)
-        x3 = scat(x3K, 0, i32)
-        emit3 = scat(emit3K, False, jnp.bool_)
+        flagsK = ((fK & (tK > 0) & okfK).astype(i32)
+                  | ((bK & (tK > 0) & okbK).astype(i32) << 1)
+                  | (rK.astype(i32) << 2)
+                  | (emit3K.astype(i32) << 3))
+        ints = scat2(jnp.stack([tK, x3K, flagsK], axis=1), i32)
+        lands = scat2(jnp.stack([llandK, klandK], axis=1), rdt)
+        t, x3, flags = ints[:, 0], ints[:, 1], ints[:, 2]
+        lland, kland = lands[:, 0], lands[:, 1]
+        do_f = (flags & 1) > 0
+        do_b = (flags & 2) > 0
+        svc_r3 = (flags & 4) > 0
+        emit3 = (flags & 8) > 0
 
         # PH_FWD jump: k invariant while s == 1; the next stepwise
         # iteration performs the mismatch/end-of-read step exactly.
@@ -851,8 +868,7 @@ def collect_seeds_device(
         # emits exactly.
         st["i"] = jnp.where(do_b, i - t, st["i"])
         row_b = jnp.stack(
-            [kland, jnp.zeros_like(kland), jnp.ones_like(kland),
-             p0[:, 3]], axis=1)
+            [kland, jnp.ones_like(kland), p0[:, 2]], axis=1)
         st["prev"] = dense.put_row(st["prev"], jnp.zeros(Bc, i32), row_b,
                                    do_b)
         st["rev1"] = jnp.where(do_b, False, st["rev1"])
@@ -879,7 +895,12 @@ def collect_seeds_device(
         from bioseqdb_tpu.kernels.loops import LOOP_UNROLL
 
         U = max(1, min(LOOP_UNROLL, 32))
-        chunk = max(U, (serve_every // U) * U) if ff_on else 32
+        # the service's fixed per-op dispatch cost (~0.3 ms) outweighs
+        # 16+ iterations at narrow tail widths (and tail lanes are the
+        # repeat-heavy, rarely fast-forwardable ones): run it only at
+        # wide levels
+        svc = ff_on and st["phase"].shape[0] >= min(B, max(2048, B // 8))
+        chunk = max(U, (serve_every // U) * U) if svc else 32
 
         def bodyU(_, s):
             # U state-machine steps per loop iteration: each while/fori
@@ -891,7 +912,7 @@ def collect_seeds_device(
 
         def chunkf(s):
             s = jax.lax.fori_loop(0, chunk // U, bodyU, s)
-            return service(s) if ff_on else s
+            return service(s) if svc else s
 
         def run_chunks(s, live_gt: int):
             return jax.lax.while_loop(
@@ -920,7 +941,7 @@ def collect_seeds_device(
     sizes = []
     b = B
     while b >= 1024:
-        b //= 4
+        b //= 2 if not sizes else 4
         sizes.append(b)
     st = run_compacting(st, sizes)
     out = dict(mems=st["mems"], n_mem=st["n_mem"], overflow=st["overflow"],

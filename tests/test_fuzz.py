@@ -13,6 +13,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # ~minutes of DP sweeps; -m 'not slow' skips
+
 from bioseqdb_tpu.align.options import AlignOptions
 from bioseqdb_tpu.align.pipeline import Aligner
 from bioseqdb_tpu.cpu import oracle as O

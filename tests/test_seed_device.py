@@ -48,8 +48,11 @@ def device_seeds(fm, reads_codes, opt, W=160, jump_base=0, jump_depth=8):
 
 
 def oracle_seeds(idx, rc, opt):
+    # the l half of the bi-interval is dead downstream of seeding and the
+    # device path does not materialize it (kernels/seed.py candidate
+    # tables); compare (start, end, k, s)
     mems, _ = O.collect_intv(idx, opt, rc)
-    return sorted((m.start, m.end, m.k, m.l, m.s) for m in mems)
+    return sorted((m.start, m.end, m.k, m.s) for m in mems)
 
 
 def compare(idx, fm, reads_codes, opt):
@@ -58,7 +61,7 @@ def compare(idx, fm, reads_codes, opt):
     for i, rc in enumerate(reads_codes):
         n = got["n_mem"][i]
         dev = sorted(
-            (int(r[3]), int(r[4]), int(r[0]), int(r[1]), int(r[2]))
+            (int(r[3]), int(r[4]), int(r[0]), int(r[2]))
             for r in got["mems"][i, :n]
         )
         want = oracle_seeds(idx, rc, opt)

@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # ~minutes of DP sweeps; -m 'not slow' skips
+
 import jax.numpy as jnp
 
 from bioseqdb_tpu.cpu.ksw import fill_scmat, ksw_extend

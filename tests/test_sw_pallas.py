@@ -4,6 +4,8 @@ mode on CPU; the compiled TPU path is exercised by bench tooling)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # ~minutes of DP sweeps; -m 'not slow' skips
+
 import jax.numpy as jnp
 
 from bioseqdb_tpu.cpu.ksw import fill_scmat
