@@ -92,7 +92,11 @@ def full_align_step(
     # in int32
     import os
 
-    serve_every = int(os.environ.get("BST_SERVE_EVERY", "16"))
+    # s==1 fast-forward service cadence; 0 = off (the default: on this
+    # environment's TPU the service's per-invocation dispatch cost
+    # exceeds the iteration savings — measured win/loss in BENCH_NOTES
+    # round 2; the machinery stays exact-equivalent and tested)
+    serve_every = int(os.environ.get("BST_SERVE_EVERY", "0"))
     codes = codes.astype(jnp.int32)
     # smaller per-lane tables for short reads: the seeding loop rewrites
     # its whole state every iteration, so table bytes are HBM bandwidth;

@@ -726,7 +726,7 @@ def collect_seeds_device(
         return new
 
     # ---- s==1 fast-forward service (see docstring) ----
-    ff_on = (pac_rows is not None and isa is not None
+    ff_on = (pac_rows is not None and isa is not None and serve_every > 0
              and shard_axis is None and max_mem_intv > 1)
 
     def service(st):
