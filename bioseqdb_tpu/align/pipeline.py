@@ -272,7 +272,11 @@ class Aligner:
             if os.environ.get("BST_NO_R3_JUMP") != "1":
                 fm, jump_base, jump_depth = build_r3_jump(
                     fm, host_blocks=np.asarray(index.blocks))
-            if os.environ.get("BST_NO_FF") != "1":
+            # the sampled ISA only feeds the (opt-in) fast-forward
+            # service; skip deriving/uploading it when the service is
+            # off — at GRCh38 scale it is 1.5 GB of HBM
+            if (os.environ.get("BST_NO_FF") != "1"
+                    and int(os.environ.get("BST_SERVE_EVERY", "0")) > 0):
                 isa_dev = jax.device_put(
                     jnp.asarray(index.isa_sample_array(), fm.rank_dtype),
                     device)

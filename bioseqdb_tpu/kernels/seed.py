@@ -268,7 +268,9 @@ def collect_seeds_device(
         rev1=jnp.zeros(B, jnp.bool_),             # first bwd column reads
                                                   # prev (=cand) in reverse
         min_intv=jnp.ones(B, rdt),                # per-lane (round 2 overrides)
-        mems=jnp.zeros((B, M, 5), rdt),
+        # in-loop mems are (k, s, start, end); the dead l column is
+        # re-expanded to the 5-wide output layout only at return
+        mems=jnp.zeros((B, M, 4), rdt),
         n_mem=jnp.zeros(B, i32),
         n_mem_r1=jnp.zeros(B, i32),               # count after round 1
         r2i=jnp.zeros(B, i32),                    # round-2 source mem index
@@ -359,8 +361,8 @@ def collect_seeds_device(
         # round 2 iterates over round-1 mems
         at_r2 = at_pivot & (rnd == RD_RESEED)
         r2_src = dense.pick_row(st["mems"], jnp.clip(r2i, 0, M - 1))
-        r2_len = (r2_src[:, 4] - r2_src[:, 3]).astype(i32)
-        r2_eligible = (r2_len >= split_len) & (r2_src[:, 2] <= split_width)
+        r2_len = (r2_src[:, 3] - r2_src[:, 2]).astype(i32)
+        r2_eligible = (r2_len >= split_len) & (r2_src[:, 1] <= split_width)
         r2_exhausted = at_r2 & (r2i >= st["n_mem_r1"])
         r2_skip = at_r2 & ~r2_exhausted & ~r2_eligible
         r2_go = at_r2 & ~r2_exhausted & r2_eligible
@@ -383,10 +385,10 @@ def collect_seeds_device(
         go1 = p1 & (qx < 4)
         # round-2 pivot: x = (start+end)>>1, min_intv = s+1
         go2 = r2_go
-        piv2 = ((r2_src[:, 3] + r2_src[:, 4]) >> 1).astype(i32)
+        piv2 = ((r2_src[:, 2] + r2_src[:, 3]) >> 1).astype(i32)
         x = jnp.where(go2, piv2, x)
         st["min_intv"] = jnp.where(
-            go2, r2_src[:, 2] + 1, jnp.where(go1, 1, st["min_intv"]))
+            go2, r2_src[:, 1] + 1, jnp.where(go1, 1, st["min_intv"]))
         go = go1 | go2
         qpiv = qat_in(st["codes"], x)
         piv_amb2 = go2 & (qpiv >= 4)  # re-seed pivot on an N: skip it
@@ -652,10 +654,8 @@ def collect_seeds_device(
         # round filters: emit only seeds meeting the round's length rule
         slen = (p_iv[:, 2].astype(i32)) - (bw_i + 1)
         emit = emit & (slen >= min_seed_len)
-        # mems keep the 5-wide (k, l, s, start, end) interface with
-        # l = 0 (dead downstream; chain.resolve_seeds reads 0/2/3/4)
         mem_row = jnp.stack(
-            [p_iv[:, 0], jnp.zeros_like(p_iv[:, 0]), p_iv[:, 1],
+            [p_iv[:, 0], p_iv[:, 1],
              (bw_i + 1).astype(rdt), p_iv[:, 2]], axis=1
         )
         new["mems"], new["n_mem"], ovf2 = push_row(
@@ -708,7 +708,7 @@ def collect_seeds_device(
         r3_ext = in_r3 & (i < L) & (qi < 4)
         hit = r3_ext & (ok_s < max_mem_intv) & ((i - x) >= min_seed_len)
         emit3 = hit & (ok_s > 0)
-        mem3 = jnp.stack([ok_k, ok_l, ok_s, x.astype(rdt),
+        mem3 = jnp.stack([ok_k, ok_s, x.astype(rdt),
                           (i + 1).astype(rdt)], axis=1)
         new["mems"], new["n_mem"], ovf4 = push_row(
             new["mems"], new["n_mem"], mem3, emit3
@@ -875,7 +875,7 @@ def collect_seeds_device(
 
         # PH_R3 stop/emit
         row3 = jnp.stack(
-            [ik[:, 0], jnp.zeros_like(ik[:, 0]), jnp.ones_like(ik[:, 0]),
+            [ik[:, 0], jnp.ones_like(ik[:, 0]),
              x.astype(rdt), (x + min_seed_len + 1).astype(rdt)], axis=1)
         st["mems"], st["n_mem"], ovf3 = push_row(
             st["mems"], st["n_mem"], row3, emit3)
@@ -944,7 +944,10 @@ def collect_seeds_device(
         b //= 2 if not sizes else 4
         sizes.append(b)
     st = run_compacting(st, sizes)
-    out = dict(mems=st["mems"], n_mem=st["n_mem"], overflow=st["overflow"],
+    m4 = st["mems"]
+    mems5 = jnp.concatenate(
+        [m4[:, :, :1], jnp.zeros_like(m4[:, :, :1]), m4[:, :, 1:]], axis=2)
+    out = dict(mems=mems5, n_mem=st["n_mem"], overflow=st["overflow"],
                iters=st["iters"], it_r1=st["it_r1"], it_r2=st["it_r2"])
     if DEBUG_CENSUS:
         out["ph_census"] = st["ph_census"]
