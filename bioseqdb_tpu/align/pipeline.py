@@ -375,8 +375,13 @@ class Aligner:
             jump_base=self.jump_base, jump_depth=self.jump_depth,
             # the Pallas banded-SW kernel beats the XLA one on real TPUs
             # (per-block early exit); CPU runs use the XLA kernel (the
-            # Pallas interpret path is far slower)
-            use_pallas_sw=jax.devices()[0].platform != "cpu",
+            # Pallas interpret path is far slower). Under jax x64
+            # (int64-rank indexes, GRCh38 scale) Mosaic's compile-time
+            # helper traces pick up 64-bit dtypes it cannot lower
+            # (convert/squeeze float64 errors), so x64 runs use the XLA
+            # kernel too — same results, modestly slower extend stage.
+            use_pallas_sw=(jax.devices()[0].platform != "cpu"
+                           and not jax.config.jax_enable_x64),
         )
         import os
 

@@ -231,7 +231,31 @@ def sw_extend_batch_pallas(
     grid = (n_blocks,)
     bspec = lambda wdt: pl.BlockSpec((BL, wdt), lambda i: (i, 0),
                                      memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
+    # the kernel is int32 throughout and all operands are cast above;
+    # under jax x64 (int64-rank indexes) weak-typed literals inside the
+    # kernel would otherwise become int64, which Mosaic cannot lower
+    # (convert_element_type recursion) — trace the kernel with x64 off
+    import contextlib
+
+    x32 = (jax.enable_x64(False) if jax.config.jax_enable_x64
+           else contextlib.nullcontext())
+    with x32:
+        out = _call_sw(grid, bspec, BL, WT, max_qlen, n_blocks, interpret)(
+            scal(match_score), scal(mismatch_penalty), scal(o_del),
+            scal(e_del), scal(o_ins), scal(e_ins), scal(end_bonus),
+            scal(zdrop),
+            query.astype(jnp.int32), col(qlen), target.astype(jnp.int32),
+            col(tlen), col(w0), col(h0),
+        )
+    out = out[:B]
+    return dict(
+        score=out[:, 0], qle=out[:, 1], tle=out[:, 2], gtle=out[:, 3],
+        gscore=out[:, 4], max_off=out[:, 5],
+    )
+
+
+def _call_sw(grid, bspec, BL, WT, max_qlen, n_blocks, interpret):
+    return pl.pallas_call(
         _sw_kernel,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 8 + [
@@ -245,14 +269,4 @@ def sw_extend_batch_pallas(
             pltpu.VMEM((BL, max_qlen), jnp.int32),
         ],
         interpret=interpret,
-    )(
-        scal(match_score), scal(mismatch_penalty), scal(o_del), scal(e_del),
-        scal(o_ins), scal(e_ins), scal(end_bonus), scal(zdrop),
-        query.astype(jnp.int32), col(qlen), target.astype(jnp.int32),
-        col(tlen), col(w0), col(h0),
-    )
-    out = out[:B]
-    return dict(
-        score=out[:, 0], qle=out[:, 1], tle=out[:, 2], gtle=out[:, 3],
-        gscore=out[:, 4], max_off=out[:, 5],
     )
