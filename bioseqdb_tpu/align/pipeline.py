@@ -76,6 +76,7 @@ def full_align_step(
     jump_base: int = 0,
     jump_depth: int = 0,
     isa_dev=None,
+    max_cand: int = 0,
 ):
     """Jitted full BWA-MEM device pipeline for one batch: SMEM seeding ->
     seed resolution -> chaining -> chain filter -> banded-SW extension.
@@ -101,8 +102,15 @@ def full_align_step(
     # smaller per-lane tables for short reads: the seeding loop rewrites
     # its whole state every iteration, so table bytes are HBM bandwidth;
     # 150 bp 1%-sub reads measure n_cand <= 16 / n_mem <= 9 (overflow ->
-    # host oracle covers the tail exactly)
-    caps = dict(max_cand=16, max_mem=16) if codes.shape[1] <= 200 else {}
+    # host oracle covers the tail exactly). ``max_cand`` override: the
+    # per-pass candidate count scales ~log4(genome) (one distinct
+    # interval size per depth until s hits 1), so GRCh38-class indexes
+    # need 24 where E.coli-class needs 16 — at 16, 91% of GRCh38 reads
+    # overflowed to the host oracle (round-2 chip check).
+    if codes.shape[1] <= 200:
+        caps = dict(max_cand=max_cand or 16, max_mem=16)
+    else:
+        caps = dict(max_cand=max_cand) if max_cand else {}
     mems = collect_seeds_device(
         fm, codes, lens, min_seed_len=min_seed_len, split_len=split_len,
         split_width=split_width, max_mem_intv=max_mem_intv,
@@ -189,6 +197,7 @@ _STEP_STATICS = (
     "pen_clip5", "pen_clip3", "min_chain_weight", "max_chain_gap",
     "mask_level", "chain_drop_ratio", "sa_interval", "use_pallas_sw",
     "keep_mems", "jump_base", "jump_depth", "pack_cap", "pack_narrow",
+    "max_cand",
 )
 
 
@@ -352,6 +361,7 @@ class Aligner:
                 self.fms, codes, lens, mat, self.mesh, opt,
                 self.index.n_refs, data_axis=data_axis,
                 sa_interval=self.index.sa_interval, keep_mems=keep_mems,
+                max_cand=(24 if self.index.seq_len >= (1 << 31) else 0),
             )
         if pack is None:
             pack = not keep_mems
@@ -373,6 +383,8 @@ class Aligner:
             mask_level=opt.mask_level, chain_drop_ratio=opt.chain_drop_ratio,
             sa_interval=self.index.sa_interval, keep_mems=keep_mems,
             jump_base=self.jump_base, jump_depth=self.jump_depth,
+            # candidate stack scales with log4(genome); see full_align_step
+            max_cand=(24 if self.index.seq_len >= (1 << 31) else 0),
             # the Pallas banded-SW kernel beats the XLA one on real TPUs
             # (per-block early exit); CPU runs use the XLA kernel (the
             # Pallas interpret path is far slower). Under jax x64

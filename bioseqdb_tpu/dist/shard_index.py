@@ -205,7 +205,7 @@ def full_align_step_sharded(
     fms: FMSharded, codes, lens, mat, mesh: Mesh, opt, n_refs: int,
     axis: str = "index", data_axis: str | None = None,
     max_seeds: int = 64, max_chains: int = 16, sa_interval: int = 32,
-    keep_mems: bool = False,
+    keep_mems: bool = False, max_cand: int = 0,
 ):
     """The full device pipeline over a (data x index) mesh: reads shard
     along ``data`` (if the mesh has that axis), tables along ``index``.
@@ -221,8 +221,11 @@ def full_align_step_sharded(
     def inner(fms_l, codes, lens, mat):
         fm = _local_fm(fms_l)
         codes = codes.astype(jnp.int32)  # uint8 on the wire
-        caps = (dict(max_cand=16, max_mem=16) if codes.shape[1] <= 200
-                else {})  # match pipeline.full_align_step
+        # match pipeline.full_align_step (max_cand scales ~log4(genome))
+        if codes.shape[1] <= 200:
+            caps = dict(max_cand=max_cand or 16, max_mem=16)
+        else:
+            caps = dict(max_cand=max_cand) if max_cand else {}
         mems = collect_seeds_device(
             fm, codes, lens, min_seed_len=opt.min_seed_len,
             split_len=split_len, split_width=opt.split_width,

@@ -6,9 +6,11 @@ reports sustained reads/s plus truth-position accuracy; then validates
 a paired-end sample end-to-end. Run on the real chip:
 
     PYTHONPATH=. python tools/config3_check.py [n_reads] [n_pairs]
+    (no PYTHONPATH: it breaks this environment's axon TPU plugin
+    registration — the script inserts the repo root itself)
 """
 
-import sys
+import sys; sys.path.insert(0, __file__.rsplit("/", 2)[0])  # noqa: E702
 import time
 
 import numpy as np
