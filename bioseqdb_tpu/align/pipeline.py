@@ -276,8 +276,8 @@ class Aligner:
             from bioseqdb_tpu.kernels.seed import build_r3_jump
 
             pac_dev = jax.device_put(
-                jnp.asarray(pack_doubled_rows(np.asarray(index.pac))), device
-            )
+                jnp.asarray(index.packed_doubled_rows(pack_doubled_rows)),
+                device)
             if os.environ.get("BST_NO_R3_JUMP") != "1":
                 fm, jump_base, jump_depth = build_r3_jump(
                     fm, host_blocks=np.asarray(index.blocks))

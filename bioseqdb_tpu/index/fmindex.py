@@ -257,6 +257,29 @@ class FMIndex:
         object.__setattr__(self, "_isa_cache", isa)
         return isa
 
+    def packed_doubled_rows(self, pack_fn) -> np.ndarray:
+        """The extend-stage packed doubled-text rows (pack_fn =
+        kernels.extend.pack_doubled_rows), cached in memory and — for
+        indexes loaded from disk — on disk next to the index arrays:
+        repacking 6.2 G doubled bases costs ~9 single-threaded host
+        minutes per GRCh38 Aligner.build, the mmap load costs seconds."""
+        cached = getattr(self, "_pacrows_cache", None)
+        if cached is not None:
+            return cached
+        path = getattr(self, "_load_path", None)
+        fpath = os.path.join(path, "pac_rows.npy") if path else None
+        if fpath and os.path.exists(fpath):
+            rows = np.load(fpath, mmap_mode="r")
+        else:
+            rows = pack_fn(np.asarray(self.pac))
+            if fpath:
+                try:
+                    np.save(fpath, rows)
+                except OSError:
+                    pass  # read-only index dir: keep the in-memory copy
+        object.__setattr__(self, "_pacrows_cache", rows)
+        return rows
+
     # -- coordinate mapping ----------------------------------------------
 
     def depos(self, pos: int, length: int) -> tuple[int, bool]:
@@ -322,7 +345,7 @@ class FMIndex:
             )
         mode = "r" if mmap else None
         ld = lambda name: np.load(os.path.join(path, name + ".npy"), mmap_mode=mode)
-        return cls(
+        out = cls(
             l_pac=meta["l_pac"], seq_len=meta["seq_len"],
             primary=meta["primary"], sa_interval=meta["sa_interval"],
             ref_names=list(meta["ref_names"]),
@@ -335,6 +358,10 @@ class FMIndex:
             hole_offsets=ld("hole_offsets"), hole_lens=ld("hole_lens"),
             hole_chars=ld("hole_chars"),
         )
+        # remember where we came from: packed_doubled_rows caches its
+        # (expensive at GRCh38 scale) derived table next to the arrays
+        object.__setattr__(out, "_load_path", path)
+        return out
 
 
 # Chunk size for streaming table construction, in blocks. A multiple of
