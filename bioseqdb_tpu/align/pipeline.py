@@ -326,7 +326,13 @@ class Aligner:
 
     def align_batch(self, batch: ReadBatch, max_hits: int | None = None,
                     with_query_ids: bool = True) -> list[ReadResult]:
-        """Align a packed batch; returns per-read results."""
+        """Align a packed batch; returns per-read results.
+
+        mode="exact" is a fast path with APPROXIMATE record fields:
+        MAPQ is 60-if-unique-else-0 (not the bwa formula), and NM/MD
+        are not computed (exact matches have NM=0 by construction but
+        no MD string). mode="full" (the default) produces the complete
+        BWA-MEM-semantics records."""
         if self.mode == "exact":
             if max_hits is None:
                 max_hits = min(self.options.resolve_max_occ(self.index.n_refs), 64)

@@ -237,8 +237,9 @@ def main(argv=None) -> int:
     pa.add_argument("-w", "--bandwidth", type=int, default=100)
     pa.add_argument("-T", "--min-score", type=int, default=30)
     pa.add_argument("-R", "--rg", help="@RG header line (\\t-separated, bwa -R style)")
-    pa.add_argument("--mode", choices=["full", "exact"], default="full",
-                    help="full BWA-MEM pipeline or the exact-match fast path")
+    pa.add_argument(
+        "--mode", choices=["full", "exact"], default="full",
+                    help="full BWA-MEM pipeline or the exact-match fast path (exact: fast path with approximate MAPQ=60/0 and no NM/MD)")
     pa.add_argument("--cpu", action="store_true", help="force the CPU backend")
     pa.add_argument("--profile", help="capture a jax.profiler device trace here")
     pa.set_defaults(fn=_cmd_align)
