@@ -360,21 +360,42 @@ def extend_all(
     def sw_with_retry(qbuf, qn, tbuf, tn, h0, bonus, active, prev_sc):
         """One ksw_extend with the reference's MAX_BAND_TRY band doubling:
         retry at twice the band iff the try-1 score differs from the
-        pre-extension score AND the max diagonal offset filled the band."""
+        pre-extension score AND the max diagonal offset filled the band.
+
+        Lanes are SORTED by expected DP row count before the Pallas call
+        (and unpermuted after — results are identical): the kernel's
+        early exit is per 128-lane block, so an unsorted batch pays each
+        block's slowest lane (~max qlen+band rows) while the sorted one
+        pays the mean, and the sparse active lanes of later rounds pack
+        into a few blocks instead of keeping every block alive."""
         qn_a = jnp.where(active, qn, 0)
         w1 = jnp.full(B, bandwidth, i32)
+        if use_pallas_sw:
+            # row count until the band empties ~ min(tlen, qlen + band);
+            # idle lanes sort last so their blocks exit instantly
+            work = jnp.where(qn_a > 0, jnp.minimum(tn, qn_a + bandwidth), -1)
+            perm = jnp.argsort(-work).astype(i32)
+            srt = lambda x: jnp.take(x, perm, axis=0)
+            qbuf, qn_a, tbuf, tn, h0, prev_sc = (
+                srt(qbuf), srt(qn_a), srt(tbuf), srt(tn), srt(h0),
+                srt(prev_sc))
+            active = srt(active)
         r1 = sw_one(qbuf, qn_a, tbuf, tn, w1, bonus, h0)
         retry = (
             active
             & (r1["score"] != prev_sc)
             & (r1["max_off"] >= ((w1 >> 1) + (w1 >> 2)))
         )
-        qn_b = jnp.where(retry, qn, 0)
+        qn_b = jnp.where(retry, qn_a, 0)
         w2 = w1 * 2
         r2 = sw_one(qbuf, qn_b, tbuf, tn, w2, bonus, h0)
         # the reference keeps the wider-band results whenever it retried
         out = {k: jnp.where(retry, r2[k], r1[k]) for k in r1}
         aw = jnp.where(retry, w2, w1)
+        if use_pallas_sw:
+            inv = jnp.zeros(B, i32).at[perm].set(jnp.arange(B, dtype=i32))
+            out = {k: jnp.take(v, inv, axis=0) for k, v in out.items()}
+            aw = jnp.take(aw, inv, axis=0)
         return out, aw
 
     def round_body(_, carry):

@@ -307,6 +307,8 @@ def collect_seeds_device(
         st["ph_census"] = jnp.zeros((B, 6), i32)
         st["bwd_dead"] = jnp.zeros(B, i32)
         st["same_quad"] = jnp.zeros(B, i32)
+        st["same_oct"] = jnp.zeros(B, i32)
+        st["same_wrow"] = jnp.zeros(B, i32)
         st["ext_n"] = jnp.zeros(B, i32)
     # lanes with no bases never run
     st["phase"] = jnp.where(lens > 0, PH_PIVOT, PH_DONE)
@@ -460,6 +462,14 @@ def collect_seeds_device(
             p2 = k2 - (k2 > fm.primary).astype(k2.dtype)
             same = (p1 >> 9) == (p2 >> 9)
             st["same_quad"] = st["same_quad"] + (live & same).astype(i32)
+            # octo-row (1024-base) and wide-row (row pair, 2048-base
+            # window anchored at p1's octo row) locality: the candidate
+            # 192-int32 overlapping-row gather scheme needs p2 within
+            # p1's octo row + 1
+            st["same_oct"] = st["same_oct"] + (
+                live & ((p1 >> 10) == (p2 >> 10))).astype(i32)
+            st["same_wrow"] = st["same_wrow"] + (
+                live & ((p2 >> 10) - (p1 >> 10) <= 1)).astype(i32)
             st["ext_n"] = st["ext_n"] + live.astype(i32)
 
         phase = st["phase"]
@@ -953,5 +963,7 @@ def collect_seeds_device(
         out["ph_census"] = st["ph_census"]
         out["bwd_dead"] = st["bwd_dead"]
         out["same_quad"] = st["same_quad"]
+        out["same_oct"] = st["same_oct"]
+        out["same_wrow"] = st["same_wrow"]
         out["ext_n"] = st["ext_n"]
     return out

@@ -54,6 +54,9 @@ def main():
     sq = np.asarray(out["same_quad"])[: rb.n].sum()
     en = np.asarray(out["ext_n"])[: rb.n].sum()
     print(f"same-quad extensions: {sq}/{en} = {sq/max(en,1):.3f}")
+    for k, nm in (("same_oct", "same-oct(1024)"), ("same_wrow", "wrow(2048)")):
+        v = np.asarray(out[k])[: rb.n].sum()
+        print(f"{nm} extensions: {v}/{en} = {v/max(en,1):.3f}")
 
 
 main()
