@@ -98,6 +98,15 @@ def full_align_step(
     # exceeds the iteration savings — measured win/loss in BENCH_NOTES
     # round 2; the machinery stays exact-equivalent and tested)
     serve_every = int(os.environ.get("BST_SERVE_EVERY", "0"))
+    # multi-candidate backward columns (kernels/seed.py): candidates per
+    # iteration. Default 1 (classic form): on this chip the in-row
+    # decode of extra candidates costs as much per iteration as the
+    # iterations it saves — measured 2026-08-21, KC=2 47.9K vs KC=1
+    # 48.2K reads/s (no SW sort), KC=4 unmerged-writes 46.2 vs 48.2K
+    # (with sort: 59.4K). The machinery stays exact and tested
+    # (tests/test_seed_device.py) — revisit on hardware with cheaper
+    # vector ops relative to gather latency.
+    kcand = int(os.environ.get("BST_KCAND", "1"))
     codes = codes.astype(jnp.int32)
     # smaller per-lane tables for short reads: the seeding loop rewrites
     # its whole state every iteration, so table bytes are HBM bandwidth;
@@ -116,7 +125,7 @@ def full_align_step(
         split_width=split_width, max_mem_intv=max_mem_intv,
         jump_base=jump_base, jump_depth=jump_depth,
         pac_rows=pac_dev, isa=isa_dev, sa_interval=sa_interval,
-        serve_every=serve_every, **caps,
+        serve_every=serve_every, kcand=kcand, **caps,
     )
     seeds = resolve_seeds(fm, mems["mems"], mems["n_mem"],
                           max_occ=max_occ, max_seeds=max_seeds,

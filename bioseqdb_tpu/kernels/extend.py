@@ -368,9 +368,12 @@ def extend_all(
         block's slowest lane (~max qlen+band rows) while the sorted one
         pays the mean, and the sparse active lanes of later rounds pack
         into a few blocks instead of keeping every block alive."""
+        import os
+
         qn_a = jnp.where(active, qn, 0)
         w1 = jnp.full(B, bandwidth, i32)
-        if use_pallas_sw:
+        sw_sort = use_pallas_sw and os.environ.get("BST_SW_SORT", "1") != "0"
+        if sw_sort:
             # row count until the band empties ~ min(tlen, qlen + band);
             # idle lanes sort last so their blocks exit instantly
             work = jnp.where(qn_a > 0, jnp.minimum(tn, qn_a + bandwidth), -1)
@@ -392,7 +395,7 @@ def extend_all(
         # the reference keeps the wider-band results whenever it retried
         out = {k: jnp.where(retry, r2[k], r1[k]) for k in r1}
         aw = jnp.where(retry, w2, w1)
-        if use_pallas_sw:
+        if sw_sort:
             inv = jnp.zeros(B, i32).at[perm].set(jnp.arange(B, dtype=i32))
             out = {k: jnp.take(v, inv, axis=0) for k, v in out.items()}
             aw = jnp.take(aw, inv, axis=0)

@@ -254,6 +254,41 @@ def occ4_from_quad(fm: FMDevice, q96, blk, off, mine,
     return _owner_sum(row[..., :4] + cnt, mine, axis) + _small_rows(fm.occ_majors, m)
 
 
+def occ_rows_for(fm: FMDevice, r: jnp.ndarray, axis: str | None = None):
+    """Fetch the octo rows containing the conceptual-prefix positions
+    ``r`` (one fused row gather). Returns (row96, blk, off, mine) with
+    blk/off the stored block index and in-block offset — the inputs
+    ``occ4_from_quad`` needs. Splitting the fetch from the decode lets
+    callers reuse the raw rows for extra decodes (the multi-candidate
+    backward pass in kernels/seed.py)."""
+    j = r - (r > fm.primary).astype(r.dtype)
+    blk = j >> _LOG2_OCC_BLOCK
+    row96, mine = _table_row(fm.blocks, blk >> 3, axis)
+    return row96, blk, (j & (OCC_BLOCK - 1)).astype(jnp.int32), mine
+
+
+def occ_c_from_pair(fm: FMDevice, rowsA: jnp.ndarray, rowsB: jnp.ndarray,
+                    octA: jnp.ndarray, c: jnp.ndarray,
+                    p: jnp.ndarray) -> jnp.ndarray:
+    """Single-code occ in the conceptual prefix [0, p), decoded from one
+    of TWO already-fetched octo rows (a covering pair): the row actually
+    containing p's block is selected by octo index. Only valid when p's
+    stored block lies in rowsA's or rowsB's octo row — the caller
+    guarantees it (nested candidate intervals inside a covering span).
+    Unsharded only."""
+    jp = p - (p > fm.primary).astype(p.dtype)
+    blkp = jp >> _LOG2_OCC_BLOCK
+    useA = (blkp >> 3) == octA
+    row96 = jnp.where(useA[..., None], rowsA, rowsB)
+    sub = row96.reshape(row96.shape[:-1] + (OCT_BLOCKS, 12))
+    pick_idx = jnp.broadcast_to((blkp & 7).astype(jnp.int32)[..., None],
+                                blkp.shape + (12,))
+    row = _pick(sub, pick_idx, axis=-2)
+    ckpt = _pick(row[..., :4], c, axis=-1)
+    cnt = _row_counts(row, c, (jp & (OCC_BLOCK - 1)).astype(jnp.int32))
+    return ckpt + cnt + _occ_major(fm, blkp, c)
+
+
 def backward_ext(fm: FMDevice, lo, hi, c, axis: str | None = None):
     """Extend pattern interval [lo, hi) by prepending code c. Batched.
 

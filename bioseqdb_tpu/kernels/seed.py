@@ -146,7 +146,7 @@ def build_r3_jump(fm: kfm.FMDevice, depth: int | None = None,
     static_argnames=("min_seed_len", "split_width", "max_mem_intv", "split_len",
                      "max_cand", "max_mem", "max_iters", "shard_axis",
                      "jump_base", "jump_depth", "dual", "sa_interval",
-                     "serve_every"),
+                     "serve_every", "kcand"),
 )
 def collect_seeds_device(
     fm: kfm.FMDevice,
@@ -167,6 +167,7 @@ def collect_seeds_device(
     isa: jnp.ndarray | None = None,
     sa_interval: int = 32,
     serve_every: int = 32,
+    kcand: int = 4,
 ):
     """Run all three seeding rounds for a batch of reads.
 
@@ -243,6 +244,11 @@ def collect_seeds_device(
     # stepwise r3 cannot stop before depth min_seed_len, so the jump is
     # only exact-equivalent when it skips strictly shorter depths
     jump = jump_base > 0 and J > 0 and min_seed_len >= J and W > J
+    # multi-candidate backward columns: KC candidates per iteration.
+    # Disabled under dual-slot scheduling and BWT-interval sharding (the
+    # in-row decodes are unsharded; sharded rank math would need a psum
+    # per candidate).
+    KC = kcand if (not dual and shard_axis is None and kcand > 0) else 1
 
     st = dict(
         phase=jnp.zeros(B, i32),
@@ -310,6 +316,9 @@ def collect_seeds_device(
         st["same_oct"] = jnp.zeros(B, i32)
         st["same_wrow"] = jnp.zeros(B, i32)
         st["ext_n"] = jnp.zeros(B, i32)
+        st["bwd_np1"] = jnp.zeros(B, i32)
+        st["bwd_cols"] = jnp.zeros(B, i32)
+        st["bwd_cov"] = jnp.zeros(B, i32)
     # lanes with no bases never run
     st["phase"] = jnp.where(lens > 0, PH_PIVOT, PH_DONE)
 
@@ -471,6 +480,23 @@ def collect_seeds_device(
             st["same_wrow"] = st["same_wrow"] + (
                 live & ((p2 >> 10) - (p1 >> 10) <= 1)).astype(i32)
             st["ext_n"] = st["ext_n"] + live.astype(i32)
+            # BWD column structure: how much of the backward pass is the
+            # serial n_prev==1 chain vs multi-candidate columns, and how
+            # often the column's covering interval (the shortest / last
+            # visited candidate — nesting makes it the widest) fits two
+            # octo rows (the multi-candidate decode premise)
+            inb = st["phase"] == PH_BWD
+            st["bwd_np1"] = st["bwd_np1"] + (
+                inb & (st["n_prev"] == 1)).astype(i32)
+            st["bwd_cols"] = st["bwd_cols"] + (inb & (jj == 0)).astype(i32)
+            cidx = jnp.where(st["rev1"], 0, jnp.clip(st["n_prev"] - 1, 0, P - 1))
+            cov = dense.pick_row(st["prev"], cidx)
+            ckv, csv = cov[:, 0], jnp.maximum(cov[:, 1], 0)
+            jAv = ckv - (ckv > fm.primary).astype(ckv.dtype)
+            c2 = ckv + csv
+            jBv = c2 - (c2 > fm.primary).astype(c2.dtype)
+            st["bwd_cov"] = st["bwd_cov"] + (
+                inb & ((jBv >> 10) - (jAv >> 10) <= 1)).astype(i32)
 
         phase = st["phase"]
         rnd = st["round"]
@@ -493,11 +519,40 @@ def collect_seeds_device(
         # reverse index order while `rev1` is set
         j_eff = jnp.where(st["rev1"], st["n_prev"] - 1 - j, j)
         bwd_iv = dense.pick_row(st["prev"], jnp.clip(j_eff, 0, P - 1))  # (B, 4)
-        src_k = jnp.where(in_bwd, bwd_iv[:, 0], st["ik"][:, 0])
+        if KC > 1:
+            # ---- multi-candidate backward columns ----
+            # A column's candidates are NESTED intervals (they share the
+            # start bw_i+1, so shorter patterns have superset intervals;
+            # visit order is longest-first = ascending interval size).
+            # The (j+KC-1)-th visited candidate therefore COVERS the next
+            # KC: when its interval spans <= 2 octo rows, this
+            # iteration's shared gather (its two rows) contains every
+            # occ position of all KC candidates — decode them all and
+            # process the whole group in one iteration (the backward
+            # pass is ~50% of all iterations, ~6 candidates per column).
+            cov_v = jnp.minimum(j + (KC - 1), st["n_prev"] - 1)
+            cov_st = jnp.where(st["rev1"], st["n_prev"] - 1 - cov_v, cov_v)
+            cov_iv = dense.pick_row(st["prev"], jnp.clip(cov_st, 0, P - 1))
+            ck = cov_iv[:, 0]
+            cs = jnp.maximum(cov_iv[:, 1], 0)
+            jA = ck - (ck > fm.primary).astype(rdt)
+            ce = ck + cs
+            jB = ce - (ce > fm.primary).astype(rdt)
+            multi = (
+                in_bwd & (i >= 0) & (qi < 4)
+                & (((jB >> 10) - (jA >> 10)) <= 1) & (cov_v > j)
+            )
+            src_k = jnp.where(
+                in_bwd, jnp.where(multi, ck, bwd_iv[:, 0]), st["ik"][:, 0])
+            src_s = jnp.where(
+                in_bwd, jnp.where(multi, cs, bwd_iv[:, 1]), st["ik"][:, 2])
+        else:
+            multi = jnp.zeros_like(in_bwd)
+            src_k = jnp.where(in_bwd, bwd_iv[:, 0], st["ik"][:, 0])
+            src_s = jnp.where(in_bwd, bwd_iv[:, 1], st["ik"][:, 2])
         # backward lanes have no live l (dropped column): 0 feeds the
         # dead l4 side only
         src_l = jnp.where(in_bwd, 0, st["ik"][:, 1])
-        src_s = jnp.where(in_bwd, bwd_iv[:, 1], st["ik"][:, 2])
         # unify: fwd == back on the (l, k) swap + code flip
         a = jnp.where(in_bwd, src_k, src_l)
         b = jnp.where(in_bwd, src_l, src_k)
@@ -515,7 +570,17 @@ def collect_seeds_device(
             s_eff = jnp.where(in_r3j, kfm.OCC_BLOCK, s_eff)
         else:
             in_r3j = jnp.zeros_like(in_fwd)
-        if not dual:
+        if not dual and KC > 1:
+            # rows-based form of fmd_extend_back (bit-identical): the raw
+            # octo rows stay available for the multi-candidate decodes
+            both = jnp.concatenate([a, a + s_eff])
+            rows2, blk2, off2, mine2 = kfm.occ_rows_for(fm, both, shard_axis)
+            occ4b = kfm.occ4_from_quad(fm, rows2, blk2, off2, mine2,
+                                       shard_axis)
+            nB = a.shape[0]  # local width (compaction narrows the state)
+            o1, o2 = occ4b[:nB], occ4b[nB:]
+            k4, l4, s4 = kfm.fmd_extend_from_occ(fm, a, b, s_eff, o1, o2)
+        elif not dual:
             k4, l4, s4 = kfm.fmd_extend_back(fm, a, b, s_eff, axis=shard_axis)
         else:
             # ---- dual-slot schedule: 2 gather rows per lane PAIR ----
@@ -599,6 +664,28 @@ def collect_seeds_device(
         ok_l = dense.pick(jnp.where(in_bwd[:, None], l4, k4), c_sel, axis=1)
         ok_s = dense.pick(s4, c_sel, axis=1)
 
+        if KC > 1:
+            # single-code extensions of the earlier-visited (longer,
+            # nested) candidates, decoded from the two fetched covering
+            # rows — no extra gather rows
+            nB = j.shape[0]  # local width (compaction narrows the state)
+            rowsA, rowsB = rows2[:nB], rows2[nB:]
+            octA = (blk2[:nB] >> 3)
+            L2c = kfm._lut(fm.L2, c_sel)
+            sub_k, sub_s, sub_iv = [], [], []
+            for t in range(KC - 1):
+                vt = j + t
+                stx = jnp.where(st["rev1"], st["n_prev"] - 1 - vt, vt)
+                civ = dense.pick_row(st["prev"], jnp.clip(stx, 0, P - 1))
+                pk = civ[:, 0]
+                ps = jnp.maximum(civ[:, 1], 0)
+                o1c = kfm.occ_c_from_pair(fm, rowsA, rowsB, octA, c_sel, pk)
+                o2c = kfm.occ_c_from_pair(fm, rowsA, rowsB, octA, c_sel,
+                                          pk + ps)
+                sub_k.append(L2c + 1 + o1c)
+                sub_s.append(o2c - o1c)
+                sub_iv.append(civ)
+
         new = dict(st)
 
         # ============== PH_R3J: decode the prefix row ==============
@@ -656,35 +743,87 @@ def collect_seeds_device(
         new["phase"] = jnp.where(fwd_done, PH_BWD, new["phase"])
 
         # ============== PH_BWD ==============
+        # Processes up to KC candidates of the column per iteration (one
+        # batched extension for the covering candidate + in-row decodes
+        # for the rest); the fold below replays the per-candidate
+        # sequential semantics (emit gating, distinct-size pushes) as
+        # pure vector work. KC == 1 degenerates to the classic
+        # one-candidate-per-iteration form.
         bw_i = i  # current backward position (may be -1)
         c_ok = in_bwd & (bw_i >= 0) & (qi < 4)  # qi == qat(bw_i) here
-        p_iv = bwd_iv  # prev entry being processed (k, l, s, end)
-        fail = in_bwd & (~c_ok | (c_ok & (ok_s < st["min_intv"])))
-        emit = fail & (st["n_curr"] == 0) & (bw_i + 1 < st["last_start"])
-        # round filters: emit only seeds meeting the round's length rule
-        slen = (p_iv[:, 2].astype(i32)) - (bw_i + 1)
-        emit = emit & (slen >= min_seed_len)
-        mem_row = jnp.stack(
-            [p_iv[:, 0], p_iv[:, 1],
-             (bw_i + 1).astype(rdt), p_iv[:, 2]], axis=1
-        )
+        if KC > 1:
+            n_proc = jnp.where(multi, cov_v - j + 1, 1)
+            main_iv = jnp.where(multi[:, None], cov_iv, bwd_iv)
+        else:
+            n_proc = jnp.ones_like(j)
+            main_iv = bwd_iv
+        n_curr_r = st["n_curr"]
+        lastq = jnp.clip(n_curr_r - 1, 0, P - 1)
+        last_s_r = dense.pick_row(st["curr"][:, :, 1], lastq)
+        last_start_r = st["last_start"]
+        curr_buf = st["curr"]
+        emit_any = jnp.zeros(j.shape[0], jnp.bool_)
+        emit_row = jnp.zeros((j.shape[0], 4), rdt)
+        ovf_bwd = jnp.zeros(j.shape[0], jnp.bool_)
+        slot_l, row_l, push_l = [], [], []
+        for t in range(KC):
+            active_t = in_bwd & (t < n_proc)
+            is_last = t == (n_proc - 1)
+            if KC > 1 and t < KC - 1:
+                res_k = jnp.where(is_last, ok_k, sub_k[t])
+                res_s = jnp.where(is_last, ok_s, sub_s[t])
+                piv_t = jnp.where(is_last[:, None], main_iv, sub_iv[t])
+            else:  # t == KC-1 active implies is_last (n_proc <= KC)
+                res_k, res_s, piv_t = ok_k, ok_s, main_iv
+            fail = active_t & (~c_ok | (c_ok & (res_s < st["min_intv"])))
+            emit = fail & (n_curr_r == 0) & (bw_i + 1 < last_start_r)
+            # round filters: emit only seeds meeting the round's length
+            slen = (piv_t[:, 2].astype(i32)) - (bw_i + 1)
+            emit = emit & (slen >= min_seed_len) & ~emit_any
+            mem_row_t = jnp.stack(
+                [piv_t[:, 0], piv_t[:, 1],
+                 (bw_i + 1).astype(rdt), piv_t[:, 2]], axis=1
+            )
+            emit_row = jnp.where(emit[:, None], mem_row_t, emit_row)
+            emit_any = emit_any | emit
+            last_start_r = jnp.where(emit, bw_i + 1, last_start_r)
+            # grow curr when extension survives, size distinct from last
+            keep = active_t & c_ok & (res_s >= st["min_intv"])
+            distinct = (n_curr_r == 0) | (res_s != last_s_r)
+            push_t = keep & distinct
+            curr_row = jnp.stack(
+                [res_k, res_s, piv_t[:, 2].astype(rdt)], axis=1)
+            # defer the buffer write: collect (slot, row, do) per t and
+            # write curr ONCE after the fold — each push_row is a full
+            # (B, P, 3) rewrite, and KC of them per iteration would eat
+            # the iterations the fold saves
+            ovf_bwd = ovf_bwd | (push_t & (n_curr_r >= P))
+            slot_l.append(jnp.minimum(n_curr_r, P - 1))
+            row_l.append(curr_row)
+            push_l.append(push_t & (n_curr_r < P))
+            n_curr_r = n_curr_r + (push_t & (n_curr_r < P)).astype(i32)
+            last_s_r = jnp.where(push_t, res_s, last_s_r)
+        if KC > 1:
+            slots = jnp.stack(slot_l, axis=1)              # (B, KC)
+            pushes = jnp.stack(push_l, axis=1)             # (B, KC)
+            vals = jnp.stack(row_l, axis=1)                # (B, KC, 3)
+            oh = (jnp.arange(P, dtype=i32)[None, :, None]
+                  == slots[:, None, :]) & pushes[:, None, :]   # (B, P, KC)
+            contrib = jnp.where(oh[..., None], vals[:, None], 0).sum(
+                axis=2, dtype=rdt)                          # (B, P, 3)
+            curr_buf = jnp.where(jnp.any(oh, axis=2)[..., None], contrib,
+                                 curr_buf)
+        else:
+            curr_buf = dense.put_row(curr_buf, slot_l[0], row_l[0], push_l[0])
         new["mems"], new["n_mem"], ovf2 = push_row(
-            new["mems"], new["n_mem"], mem_row, emit
+            new["mems"], new["n_mem"], emit_row, emit_any
         )
-        new["overflow"] = new["overflow"] | ovf2
-        new["last_start"] = jnp.where(emit, bw_i + 1, new["last_start"])
-        # grow curr when extension survives and size differs from last pushed
-        keep = in_bwd & c_ok & (ok_s >= st["min_intv"])
-        lastq = jnp.clip(st["n_curr"] - 1, 0, P - 1)
-        last_s = dense.pick_row(st["curr"][:, :, 1], lastq)
-        distinct = (st["n_curr"] == 0) | (ok_s != last_s)
-        push_bwd = keep & distinct
-        curr_row = jnp.stack([ok_k, ok_s, p_iv[:, 2].astype(rdt)], axis=1)
-        new["curr"], new["n_curr"], ovf3 = push_row(
-            new["curr"], new["n_curr"], curr_row, push_bwd
-        )
-        new["overflow"] = new["overflow"] | ovf3
-        nj = j + 1
+        new["overflow"] = new["overflow"] | ovf2 | ovf_bwd
+        new["last_start"] = jnp.where(in_bwd, last_start_r,
+                                      new["last_start"])
+        new["curr"] = jnp.where(in_bwd[:, None, None], curr_buf, new["curr"])
+        new["n_curr"] = jnp.where(in_bwd, n_curr_r, new["n_curr"])
+        nj = j + n_proc
         # dead-column shortcut: with bw_i < 0 or an ambiguous base, EVERY
         # candidate fails and no push happens, and only the first (longest;
         # ends are descending in visit order) candidate can pass the
@@ -966,4 +1105,7 @@ def collect_seeds_device(
         out["same_oct"] = st["same_oct"]
         out["same_wrow"] = st["same_wrow"]
         out["ext_n"] = st["ext_n"]
+        out["bwd_np1"] = st["bwd_np1"]
+        out["bwd_cols"] = st["bwd_cols"]
+        out["bwd_cov"] = st["bwd_cov"]
     return out

@@ -30,7 +30,8 @@ def enc(s):
     return LUT[np.frombuffer(s.encode(), np.uint8)]
 
 
-def device_seeds(fm, reads_codes, opt, W=160, jump_base=0, jump_depth=8):
+def device_seeds(fm, reads_codes, opt, W=160, jump_base=0, jump_depth=8,
+                 kcand=4):
     B = len(reads_codes)
     codes = np.full((B, W), 4, np.int32)
     lens = np.zeros(B, np.int32)
@@ -42,7 +43,7 @@ def device_seeds(fm, reads_codes, opt, W=160, jump_base=0, jump_depth=8):
         fm, jnp.asarray(codes), jnp.asarray(lens),
         min_seed_len=opt.min_seed_len, split_len=split_len,
         split_width=opt.split_width, max_mem_intv=opt.max_mem_intv,
-        jump_base=jump_base, jump_depth=jump_depth,
+        jump_base=jump_base, jump_depth=jump_depth, kcand=kcand,
     )
     return {k: np.asarray(v) for k, v in out.items()}
 
@@ -205,3 +206,22 @@ def test_r3_jump_host_splice_matches_device_concat(setup):
     assert np.array_equal(np.asarray(dev.blocks), np.asarray(host.blocks))
     assert np.array_equal(np.asarray(dev.occ_majors),
                           np.asarray(host.occ_majors))
+
+
+def test_multi_candidate_columns_match_classic(setup):
+    """kcand > 1 (multi-candidate backward columns) must emit exactly
+    the classic one-candidate-per-iteration results — only iteration
+    counts may differ (fewer)."""
+    g, idx, fm = setup
+    sim = simulate_reads(g, 32, read_len=150, sub_rate=0.03, seed=13)
+    reads = [enc(r) for r in sim.reads]
+    # include repeat-crossing reads (nested multi-candidate columns)
+    reads += [enc(g[500:620] + g[500:530])]
+    opt = AlignOptions()
+    ref = device_seeds(fm, reads, opt, kcand=1)
+    for kc in (2, 4, 8):
+        got = device_seeds(fm, reads, opt, kcand=kc)
+        assert (got["n_mem"] == ref["n_mem"]).all(), kc
+        assert (got["mems"] == ref["mems"]).all(), kc
+        assert (got["overflow"] == ref["overflow"]).all(), kc
+        assert (got["iters"] <= ref["iters"]).all(), kc

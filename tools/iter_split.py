@@ -57,6 +57,12 @@ def main():
     for k, nm in (("same_oct", "same-oct(1024)"), ("same_wrow", "wrow(2048)")):
         v = np.asarray(out[k])[: rb.n].sum()
         print(f"{nm} extensions: {v}/{en} = {v/max(en,1):.3f}")
+    np1 = np.asarray(out["bwd_np1"])[: rb.n]
+    cols = np.asarray(out["bwd_cols"])[: rb.n]
+    cov = np.asarray(out["bwd_cov"])[: rb.n]
+    print(f"bwd: iters/read {census[:, 2].mean():.1f}  n_prev==1 iters "
+          f"{np1.mean():.1f}  columns {cols.mean():.1f}  covered(2-row) "
+          f"{cov.mean():.1f}")
 
 
 main()
