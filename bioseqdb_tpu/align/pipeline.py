@@ -288,8 +288,12 @@ class Aligner:
                 jnp.asarray(index.packed_doubled_rows(pack_doubled_rows)),
                 device)
             if os.environ.get("BST_NO_R3_JUMP") != "1":
+                # BST_JUMP_DEPTH forces a depth (gather-cliff A/Bs:
+                # depth 8 pushes an E.coli-scale table past the ~5.2 MB
+                # fast tier on purpose)
+                force_d = int(os.environ.get("BST_JUMP_DEPTH", "0")) or None
                 fm, jump_base, jump_depth = build_r3_jump(
-                    fm, host_blocks=np.asarray(index.blocks))
+                    fm, depth=force_d, host_blocks=np.asarray(index.blocks))
             # the sampled ISA only feeds the (opt-in) fast-forward
             # service; skip deriving/uploading it when the service is
             # off — at GRCh38 scale it is 1.5 GB of HBM

@@ -391,7 +391,13 @@ def extend_all(
         )
         qn_b = jnp.where(retry, qn_a, 0)
         w2 = w1 * 2
-        r2 = sw_one(qbuf, qn_b, tbuf, tn, w2, bonus, h0)
+        # retries are rare (band-filling diagonal offsets): skip the
+        # whole second SW launch at runtime when no lane retries
+        r2 = jax.lax.cond(
+            jnp.any(retry),
+            lambda: sw_one(qbuf, qn_b, tbuf, tn, w2, bonus, h0),
+            lambda: {k: jnp.zeros_like(v) for k, v in r1.items()},
+        )
         # the reference keeps the wider-band results whenever it retried
         out = {k: jnp.where(retry, r2[k], r1[k]) for k in r1}
         aw = jnp.where(retry, w2, w1)
