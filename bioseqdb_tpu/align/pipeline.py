@@ -77,6 +77,9 @@ def full_align_step(
     jump_depth: int = 0,
     isa_dev=None,
     max_cand: int = 0,
+    serve_every: int = 0,
+    kcand: int = 1,
+    sw_sort: bool = True,
 ):
     """Jitted full BWA-MEM device pipeline for one batch: SMEM seeding ->
     seed resolution -> chaining -> chain filter -> banded-SW extension.
@@ -90,23 +93,10 @@ def full_align_step(
     from bioseqdb_tpu.kernels.seed import collect_seeds_device
 
     # reads ship host->device as uint8 (4x less relay upload); compute
-    # in int32
-    import os
-
-    # s==1 fast-forward service cadence; 0 = off (the default: on this
-    # environment's TPU the service's per-invocation dispatch cost
-    # exceeds the iteration savings — measured win/loss in BENCH_NOTES
-    # round 2; the machinery stays exact-equivalent and tested)
-    serve_every = int(os.environ.get("BST_SERVE_EVERY", "0"))
-    # multi-candidate backward columns (kernels/seed.py): candidates per
-    # iteration. Default 1 (classic form): on this chip the in-row
-    # decode of extra candidates costs as much per iteration as the
-    # iterations it saves — measured 2026-08-21, KC=2 47.9K vs KC=1
-    # 48.2K reads/s (no SW sort), KC=4 unmerged-writes 46.2 vs 48.2K
-    # (with sort: 59.4K). The machinery stays exact and tested
-    # (tests/test_seed_device.py) — revisit on hardware with cheaper
-    # vector ops relative to gather latency.
-    kcand = int(os.environ.get("BST_KCAND", "1"))
+    # in int32. serve_every/kcand/sw_sort are read from their env vars
+    # by the NON-traced caller (Aligner.device_regions) and ride in as
+    # static jit args — reading env inside the trace would capture the
+    # first-seen value outside the jit cache key (ADVICE round 2).
     codes = codes.astype(jnp.int32)
     # smaller per-lane tables for short reads: the seeding loop rewrites
     # its whole state every iteration, so table bytes are HBM bandwidth;
@@ -143,7 +133,7 @@ def full_align_step(
         o_del=o_del, e_del=e_del, o_ins=o_ins, e_ins=e_ins,
         bandwidth=bandwidth, zdrop=zdrop,
         pen_clip5=pen_clip5, pen_clip3=pen_clip3,
-        use_pallas_sw=use_pallas_sw,
+        use_pallas_sw=use_pallas_sw, sw_sort=sw_sort,
     )
     overflow = (
         mems["overflow"] | seeds["overflow"] | chains["overflow"]
@@ -206,7 +196,7 @@ _STEP_STATICS = (
     "pen_clip5", "pen_clip3", "min_chain_weight", "max_chain_gap",
     "mask_level", "chain_drop_ratio", "sa_interval", "use_pallas_sw",
     "keep_mems", "jump_base", "jump_depth", "pack_cap", "pack_narrow",
-    "max_cand",
+    "max_cand", "serve_every", "kcand", "sw_sort",
 )
 
 
@@ -416,6 +406,17 @@ class Aligner:
         )
         import os
 
+        # env-var tunables become STATIC jit args here, in non-traced
+        # code, so toggling them mid-process retraces instead of being
+        # silently ignored (ADVICE round 2). Defaults and the measured
+        # win/loss record for each: BENCH_NOTES round 2 (s==1
+        # fast-forward service off; multi-candidate columns KC=1; SW
+        # lane sort on, +23% e2e).
+        common.update(
+            serve_every=int(os.environ.get("BST_SERVE_EVERY", "0")),
+            kcand=int(os.environ.get("BST_KCAND", "1")),
+            sw_sort=os.environ.get("BST_SW_SORT", "1") != "0",
+        )
         if os.environ.get("BST_NO_ONEJIT") == "1":
             out = full_align_step(self.fm, self.pac_dev, codes, lens, mat,
                                   isa_dev=self.isa_dev, **common)

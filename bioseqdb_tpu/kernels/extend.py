@@ -149,7 +149,7 @@ def fetch_doubled(pac_dev, l_pac, seq_len, positions, axis=None):
         "max_rounds", "max_regs", "max_qlen", "max_tlen",
         "match_score", "mismatch_penalty", "o_del", "e_del", "o_ins", "e_ins",
         "bandwidth", "zdrop", "pen_clip5", "pen_clip3", "shard_axis",
-        "use_pallas_sw",
+        "use_pallas_sw", "sw_sort",
     ),
 )
 def extend_all(
@@ -170,6 +170,7 @@ def extend_all(
     max_tlen: int = 0,
     shard_axis: str | None = None,
     use_pallas_sw: bool = False,
+    sw_sort: bool = True,
 ):
     """Run the extension stage. Returns per-read region table:
     rb/re/qb/qe/score/truesc/w/seedlen0 int32[B, R] + n_regs + overflow.
@@ -367,13 +368,16 @@ def extend_all(
         early exit is per 128-lane block, so an unsorted batch pays each
         block's slowest lane (~max qlen+band rows) while the sorted one
         pays the mean, and the sparse active lanes of later rounds pack
-        into a few blocks instead of keeping every block alive."""
-        import os
+        into a few blocks instead of keeping every block alive.
 
+        ``sw_sort`` rides in as a STATIC extend_all argument (the
+        BST_SW_SORT env var is read by the non-traced caller,
+        Aligner.device_regions) so toggling it is part of the jit cache
+        key rather than silently captured at first trace."""
         qn_a = jnp.where(active, qn, 0)
         w1 = jnp.full(B, bandwidth, i32)
-        sw_sort = use_pallas_sw and os.environ.get("BST_SW_SORT", "1") != "0"
-        if sw_sort:
+        do_sort = use_pallas_sw and sw_sort
+        if do_sort:
             # row count until the band empties ~ min(tlen, qlen + band);
             # idle lanes sort last so their blocks exit instantly
             work = jnp.where(qn_a > 0, jnp.minimum(tn, qn_a + bandwidth), -1)
@@ -401,7 +405,7 @@ def extend_all(
         # the reference keeps the wider-band results whenever it retried
         out = {k: jnp.where(retry, r2[k], r1[k]) for k in r1}
         aw = jnp.where(retry, w2, w1)
-        if sw_sort:
+        if do_sort:
             inv = jnp.zeros(B, i32).at[perm].set(jnp.arange(B, dtype=i32))
             out = {k: jnp.take(v, inv, axis=0) for k, v in out.items()}
             aw = jnp.take(aw, inv, axis=0)

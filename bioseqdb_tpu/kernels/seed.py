@@ -167,7 +167,7 @@ def collect_seeds_device(
     isa: jnp.ndarray | None = None,
     sa_interval: int = 32,
     serve_every: int = 32,
-    kcand: int = 4,
+    kcand: int = 1,
 ):
     """Run all three seeding rounds for a batch of reads.
 

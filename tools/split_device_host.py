@@ -67,13 +67,18 @@ def main():
         f"reads/s ({dt_fin / N * 1e3:.0f} ms/batch, "
         f"{dt_fin / (B * N) * 1e6:.1f} us/read)")
 
-    # host finalize while the device is busy (the overlapped regime)
-    pend = al.device_regions(batches[0])
-    t0 = time.time()
+    # host finalize while the device is busy (the overlapped regime).
+    # Re-enqueue a device batch at the top of EVERY finalize iteration:
+    # a single in-flight batch (~280 ms) outlasted by N finalizes would
+    # leave the device idle for the loop's tail and understate the
+    # relay-polling contention (ADVICE round 2).
+    dt_busy = 0.0
     for k in range(N):
+        pend = al.device_regions(batches[k])  # fresh batch in flight
+        t0 = time.time()
         finalize_columns(idx, al.options, batches[k], outs[k])
-    dt_busy = time.time() - t0
-    jax.device_get(pend)
+        dt_busy += time.time() - t0           # finalize-only time
+        jax.device_get(pend)                  # drain outside the timer
     log(f"finalize (device busy): {dt_busy:.2f}s = {B * N / dt_busy:,.0f} "
         f"reads/s ({dt_busy / N * 1e3:.0f} ms/batch)")
     print(f"device_ms_per_batch={dt_dev / N * 1e3:.0f} "
