@@ -73,11 +73,8 @@ def full_align_step(
     sa_interval: int = 32,
     use_pallas_sw: bool = False,
     keep_mems: bool = False,
-    jump_base: int = 0,
-    jump_depth: int = 0,
-    isa_dev=None,
+    table=None,
     max_cand: int = 0,
-    serve_every: int = 0,
     kcand: int = 1,
     sw_sort: bool = True,
 ):
@@ -93,10 +90,12 @@ def full_align_step(
     from bioseqdb_tpu.kernels.seed import collect_seeds_device
 
     # reads ship host->device as uint8 (4x less relay upload); compute
-    # in int32. serve_every/kcand/sw_sort are read from their env vars
-    # by the NON-traced caller (Aligner.device_regions) and ride in as
-    # static jit args — reading env inside the trace would capture the
+    # in int32. kcand/sw_sort are read from their env vars by the
+    # NON-traced caller (Aligner.device_regions) and ride in as static
+    # jit args — reading env inside the trace would capture the
     # first-seen value outside the jit cache key (ADVICE round 2).
+    # ``table`` (kernels/seed.py SeedTable) is the unified seeding
+    # table's static row map: r3 jump + in-loop fast-forward regions.
     codes = codes.astype(jnp.int32)
     # smaller per-lane tables for short reads: the seeding loop rewrites
     # its whole state every iteration, so table bytes are HBM bandwidth;
@@ -113,9 +112,9 @@ def full_align_step(
     mems = collect_seeds_device(
         fm, codes, lens, min_seed_len=min_seed_len, split_len=split_len,
         split_width=split_width, max_mem_intv=max_mem_intv,
-        jump_base=jump_base, jump_depth=jump_depth,
-        pac_rows=pac_dev, isa=isa_dev, sa_interval=sa_interval,
-        serve_every=serve_every, kcand=kcand, **caps,
+        jump_base=(table.jump_base if table else 0),
+        jump_depth=(table.jump_depth if table else 0),
+        sa_interval=sa_interval, kcand=kcand, table=table, **caps,
     )
     seeds = resolve_seeds(fm, mems["mems"], mems["n_mem"],
                           max_occ=max_occ, max_seeds=max_seeds,
@@ -195,8 +194,8 @@ _STEP_STATICS = (
     "o_del", "e_del", "o_ins", "e_ins", "bandwidth", "zdrop",
     "pen_clip5", "pen_clip3", "min_chain_weight", "max_chain_gap",
     "mask_level", "chain_drop_ratio", "sa_interval", "use_pallas_sw",
-    "keep_mems", "jump_base", "jump_depth", "pack_cap", "pack_narrow",
-    "max_cand", "serve_every", "kcand", "sw_sort",
+    "keep_mems", "table", "pack_cap", "pack_narrow",
+    "max_cand", "kcand", "sw_sort",
 )
 
 
@@ -236,9 +235,7 @@ class Aligner:
     pac_dev: object = None
     mesh: object = None
     fms: object = None    # FMSharded when the mesh has an "index" axis
-    jump_base: int = 0    # r3 prefix-jump table base block (0 = off)
-    jump_depth: int = 0
-    isa_dev: object = None  # sampled ISA (s==1 fast-forward; None = off)
+    table: object = None  # SeedTable: unified seeding-table row map
 
     @classmethod
     def build(cls, index: FMIndex, options: AlignOptions | None = None,
@@ -266,32 +263,33 @@ class Aligner:
 
             device = replicated(mesh)
         fm = kfm.FMDevice.from_host(index, device=device)
-        jump_base = jump_depth = 0
-        isa_dev = None
+        table = None
         if mode == "full":
             import os
 
             from bioseqdb_tpu.kernels.extend import pack_doubled_rows
-            from bioseqdb_tpu.kernels.seed import build_r3_jump
+            from bioseqdb_tpu.kernels.seed import build_seed_table
 
             pac_dev = jax.device_put(
                 jnp.asarray(index.packed_doubled_rows(pack_doubled_rows)),
                 device)
-            if os.environ.get("BST_NO_R3_JUMP") != "1":
-                # BST_JUMP_DEPTH forces a depth (gather-cliff A/Bs:
-                # depth 8 pushes an E.coli-scale table past the ~5.2 MB
-                # fast tier on purpose)
-                force_d = int(os.environ.get("BST_JUMP_DEPTH", "0")) or None
-                fm, jump_base, jump_depth = build_r3_jump(
-                    fm, depth=force_d, host_blocks=np.asarray(index.blocks))
-            # the sampled ISA only feeds the (opt-in) fast-forward
-            # service; skip deriving/uploading it when the service is
-            # off — at GRCh38 scale it is 1.5 GB of HBM
-            if (os.environ.get("BST_NO_FF") != "1"
-                    and int(os.environ.get("BST_SERVE_EVERY", "0")) > 0):
-                isa_dev = jax.device_put(
-                    jnp.asarray(index.isa_sample_array(), fm.rank_dtype),
-                    device)
+            # unified seeding table: r3 jump + in-loop fast-forward
+            # regions as rows of fm.blocks (kernels/seed.py). BST_NO_FF=1
+            # drops the fast-forward regions, BST_NO_R3_JUMP=1 the jump;
+            # BST_JUMP_DEPTH forces a depth (gather-cliff A/Bs).
+            force_d = None
+            if os.environ.get("BST_NO_R3_JUMP") == "1":
+                force_d = 0
+            elif os.environ.get("BST_JUMP_DEPTH"):
+                force_d = int(os.environ["BST_JUMP_DEPTH"])
+            # BST_FF=1 enables the in-loop fast-forward regions. Default
+            # OFF while the round-3 chip regression is being worked:
+            # outputs are exact (tests/test_seed_ff.py) but the ff trace
+            # currently lowers ~11x slower on v5e (tools/ab_ff.py) —
+            # under investigation; flip the default when it wins.
+            fm, table = build_seed_table(
+                fm, index, depth=force_d,
+                with_ff=os.environ.get("BST_FF", "0") == "1")
         else:
             pac_dev = None
         return cls(
@@ -301,9 +299,7 @@ class Aligner:
             mode=mode,
             pac_dev=pac_dev,
             mesh=mesh,
-            jump_base=jump_base,
-            jump_depth=jump_depth,
-            isa_dev=isa_dev,
+            table=table,
         )
 
     def _put_batch(self, batch: ReadBatch):
@@ -391,7 +387,7 @@ class Aligner:
             max_chain_gap=opt.max_chain_gap,
             mask_level=opt.mask_level, chain_drop_ratio=opt.chain_drop_ratio,
             sa_interval=self.index.sa_interval, keep_mems=keep_mems,
-            jump_base=self.jump_base, jump_depth=self.jump_depth,
+            table=self.table,
             # candidate stack scales with log4(genome); see full_align_step
             max_cand=(24 if self.index.seq_len >= (1 << 31) else 0),
             # the Pallas banded-SW kernel beats the XLA one on real TPUs
@@ -409,21 +405,19 @@ class Aligner:
         # env-var tunables become STATIC jit args here, in non-traced
         # code, so toggling them mid-process retraces instead of being
         # silently ignored (ADVICE round 2). Defaults and the measured
-        # win/loss record for each: BENCH_NOTES round 2 (s==1
-        # fast-forward service off; multi-candidate columns KC=1; SW
-        # lane sort on, +23% e2e).
+        # win/loss record for each: BENCH_NOTES (multi-candidate columns
+        # KC=1; SW lane sort on, +23% e2e).
         common.update(
-            serve_every=int(os.environ.get("BST_SERVE_EVERY", "0")),
             kcand=int(os.environ.get("BST_KCAND", "1")),
             sw_sort=os.environ.get("BST_SW_SORT", "1") != "0",
         )
         if os.environ.get("BST_NO_ONEJIT") == "1":
             out = full_align_step(self.fm, self.pac_dev, codes, lens, mat,
-                                  isa_dev=self.isa_dev, **common)
+                                  **common)
             return _pack_out_jit(out, cap=cap, narrow=narrow) if pack else out
         return _full_align_step_jit(self.fm, self.pac_dev, codes, lens, mat,
                                     pack_cap=cap, pack_narrow=narrow,
-                                    isa_dev=self.isa_dev, **common)
+                                    **common)
 
     def _long_read_overflow(self, batch: ReadBatch, out: dict) -> dict:
         """Queries long enough to trigger mem_flt_chained_seeds (the

@@ -88,7 +88,7 @@ def _cmd_align(args) -> int:
                         s2 = [b2.read_text(i) for i in range(b2.n)]
                         out.write(emit_sam_pair_columns(
                             c1, c2, idx, b1, b2, header=False,
-                            seqs1=s1, seqs2=s2))
+                            seqs1=s1, seqs2=s2, read_group=args.rg))
                     n += b1.n + b2.n
         elif args.mode == "exact":
             with trace:
@@ -99,7 +99,8 @@ def _cmd_align(args) -> int:
                         results = aligner.align_batch(batch)
                         seqs = [batch.read_text(i) for i in range(batch.n)]
                         out.write(emit_sam(results, idx, seqs, batch.qualities,
-                                           header=False))
+                                           header=False,
+                                           read_group=args.rg))
                     n += batch.n
         else:
             # double-buffered: device compute of batch k+1 is dispatched
@@ -112,10 +113,12 @@ def _cmd_align(args) -> int:
                     with timer.stage("device_dispatch"):
                         cur = aligner.device_regions(batch)
                     if pending is not None:
-                        n += _drain(aligner, idx, prev_batch, pending, out, timer)
+                        n += _drain(aligner, idx, prev_batch, pending, out,
+                                    timer, args.rg)
                     pending, prev_batch = cur, batch
                 if pending is not None:
-                    n += _drain(aligner, idx, prev_batch, pending, out, timer)
+                    n += _drain(aligner, idx, prev_batch, pending, out,
+                                timer, args.rg)
     finally:
         if out is not sys.stdout:
             out.close()
@@ -129,7 +132,8 @@ def _cmd_align(args) -> int:
     return 0
 
 
-def _drain(aligner, idx, batch, pending, out, timer) -> int:
+def _drain(aligner, idx, batch, pending, out, timer,
+           read_group=None) -> int:
     """Finalize one batch. Reads are stateless work items, so recovery is
     batch-granular (SURVEY.md §5): a failed batch is re-fed once from the
     host copy before being reported and skipped."""
@@ -146,7 +150,8 @@ def _drain(aligner, idx, batch, pending, out, timer) -> int:
                 cols = finalize_columns(idx, aligner.options, batch, regions)
                 seqs = [batch.read_text(i) for i in range(batch.n)]
                 out.write(emit_sam_columns(cols, idx, batch, header=False,
-                                           seqs=seqs))
+                                           seqs=seqs,
+                                           read_group=read_group))
             return batch.n
         except Exception as e:  # device flake: retry the batch once
             if attempt == 2:

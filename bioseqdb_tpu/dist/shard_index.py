@@ -53,7 +53,7 @@ class FMSharded(NamedTuple):
 
     L2: jnp.ndarray            # (5,) replicated
     primary: jnp.ndarray       # () replicated
-    blocks: jnp.ndarray        # (n_shards, rows_per_shard/8, 96) P(index)
+    blocks: jnp.ndarray        # (n_shards, rows_per_shard/8, 128) P(index)
     sa_cnt: jnp.ndarray        # (n_shards, rows2_per_shard) P(index)
     sa_words: jnp.ndarray      # (n_shards, rows2_per_shard*4) P(index)
     sa_sample: jnp.ndarray     # replicated
@@ -101,9 +101,12 @@ def shard_index(idx: FMIndex, mesh: Mesh, axis: str = "index",
     put_r = lambda x: jax.device_put(
         jnp.asarray(np.asarray(x), rank_dtype), repl)
     blocks_sh = split(np.asarray(idx.blocks), align=kfm.OCT_BLOCKS)
-    blocks_oct = blocks_sh.reshape(
-        n_sh, blocks_sh.shape[1] // kfm.OCT_BLOCKS, 12 * kfm.OCT_BLOCKS)
     sa_sh = split(np.asarray(idx.sa_bits))
+    # 128-int32 octo rows per shard (pack_oct layout; the mark columns
+    # stay ZERO here — the in-loop fast-forward is replicated-path only,
+    # sharded rank walks use the flat sa_cnt/sa_words tables — but the
+    # row layout must match kernels/fm.py's 128-wide decoders)
+    blocks_oct = np.stack([kfm.pack_oct(blocks_sh[s]) for s in range(n_sh)])
     return FMSharded(
         L2=put_r(idx.L2),
         primary=put_r(idx.primary),

@@ -37,24 +37,46 @@ _LOG2_MAJOR = MAJOR_BLOCKS.bit_length() - 1
 assert MAJOR_BLOCKS == 1 << _LOG2_MAJOR
 
 
-OCT_BLOCKS = 8  # Occ blocks per device row: 96 int32 per row
+OCT_BLOCKS = 8   # Occ blocks per device row
+OCT_COLS = 128   # int32 per device row: 96 Occ + 32 SA-mark words
 
 
-def pack_oct(blocks: np.ndarray) -> np.ndarray:
-    """Host (n_blocks, 12) Occ table -> device octo layout (n/8, 96).
+def pack_oct(blocks: np.ndarray, sa_bits: np.ndarray | None = None
+             ) -> np.ndarray:
+    """Host (n_blocks, 12) Occ table -> device octo layout (n/8, 128).
 
     TPU tiled layouts pad a 2-D array's minor dim to 128 elements
     inside compiled programs, so the natural (n, 12) table would occupy
     ~10.7x its logical bytes on HBM (24.8 GB at GRCh38 scale — measured
-    OOM). 96-int32 rows pad to 128 (1.33x) and, as a bonus, gather
-    FASTER than 48-int32 quads at 8K rows (96w 69 us vs 48w 83,
-    BENCH_NOTES width sweep)."""
+    OOM), and a 96-int32 row already occupied 128 on HBM. The row is
+    therefore widened to a FULL 128 int32: cols 0:96 hold the 8 Occ
+    blocks (4 checkpoint + 8 packed-text words each), cols 96:128 hold
+    the 8 blocks' SA-mark bitmap words (``sa_bits[:, 1:]``, 4 words per
+    128 ranks) — the formerly wasted tile padding now lets the seeding
+    loop's in-loop fast-forward run LF walks + marked-rank checks
+    through its ONE shared gather (VERDICT r2 item 1). Wide rows also
+    gather FASTER than 48-int32 quads (96w 69 us vs 48w 83 at 8K rows,
+    BENCH_NOTES width sweep).
+
+    The mark words of rank-block ``b`` land in octo row ``b >> 3`` cols
+    ``96 + 4*(b & 7)``; note marks are RANK-indexed while Occ blocks are
+    stored-position-indexed (they differ by one past ``primary``) — the
+    in-row consumer handles the off-by-one block-boundary case
+    (kernels/seed.py in-loop fast-forward)."""
     blocks = np.asarray(blocks)
-    if blocks.shape[0] % OCT_BLOCKS:
-        pad = -blocks.shape[0] % OCT_BLOCKS
-        blocks = np.concatenate(
-            [blocks, np.zeros((pad, blocks.shape[1]), blocks.dtype)])
-    return blocks.reshape(-1, 12 * OCT_BLOCKS)
+    n = blocks.shape[0]
+    if sa_bits is not None:
+        n = max(n, np.asarray(sa_bits).shape[0])
+    n8 = -(-n // OCT_BLOCKS) * OCT_BLOCKS
+    out = np.zeros((n8 // OCT_BLOCKS, OCT_COLS), np.int32)
+    bb = np.zeros((n8, 12), np.int32)
+    bb[: blocks.shape[0]] = blocks
+    out[:, :96] = bb.reshape(-1, 96)
+    if sa_bits is not None:
+        mm = np.zeros((n8, 4), np.int32)
+        mm[: sa_bits.shape[0]] = np.asarray(sa_bits)[:, 1:]
+        out[:, 96:] = mm.reshape(-1, 32)
+    return out
 
 
 class FMDevice(NamedTuple):
@@ -68,7 +90,7 @@ class FMDevice(NamedTuple):
 
     L2: jnp.ndarray          # (5,) int32
     primary: jnp.ndarray     # () int32
-    blocks: jnp.ndarray      # (n_blocks/8, 96) int32 octo rows
+    blocks: jnp.ndarray      # (n_blocks/8, 128) int32 octo rows (pack_oct)
     sa_sample: jnp.ndarray   # (n_marked,) int32 SA values of marked ranks
     sa_cnt: jnp.ndarray      # (nb,) int32 marks before each 128-rank row
     sa_words: jnp.ndarray    # (nb*4,) int32 mark bitmap words
@@ -100,7 +122,7 @@ class FMDevice(NamedTuple):
         return cls(
             L2=putr(idx.L2),
             primary=putr(idx.primary),
-            blocks=put32(pack_oct(idx.blocks)),
+            blocks=put32(pack_oct(idx.blocks, sa_bits)),
             sa_sample=putr(idx.sa_sample),
             sa_cnt=put32(sa_bits[:, 0]),
             sa_words=put32(sa_bits[:, 1:].reshape(-1)),
@@ -177,11 +199,11 @@ def _block_row(fm: FMDevice, blk: jnp.ndarray, axis: str | None):
     (pack_oct: 8 blocks per 96-int32 device row).
 
     v5e dynamic gathers with rows >= 128 bytes lower to a ~2x cheaper
-    per-row path than 48-byte rows, and 96-int32 rows measured faster
-    still (BENCH_NOTES width sweep); the octo row also keeps the tiled
-    on-device layout within 1.33x of logical bytes (GRCh38-scale fit)."""
-    row96, mine = _table_row(fm.blocks, blk >> 3, axis)
-    sub = row96.reshape(row96.shape[:-1] + (OCT_BLOCKS, 12))
+    per-row path than 48-byte rows, and wide rows measured faster
+    still (BENCH_NOTES width sweep); the 128-int32 octo row also keeps
+    the tiled on-device layout at exactly its logical bytes."""
+    row128, mine = _table_row(fm.blocks, blk >> 3, axis)
+    sub = row128[..., :96].reshape(row128.shape[:-1] + (OCT_BLOCKS, 12))
     pick_idx = jnp.broadcast_to((blk & 7).astype(jnp.int32)[..., None],
                                 blk.shape + (12,))
     return _pick(sub, pick_idx, axis=-2), mine
@@ -233,17 +255,17 @@ def occ4B(fm: FMDevice, r, axis: str | None = None) -> jnp.ndarray:
     return occ4_stored(fm, r - (r > fm.primary).astype(r.dtype), axis)
 
 
-def occ4_from_quad(fm: FMDevice, q96, blk, off, mine,
+def occ4_from_quad(fm: FMDevice, q128, blk, off, mine,
                    axis: str | None = None) -> jnp.ndarray:
-    """occ4 at a stored position from an ALREADY-GATHERED 96-int32 octo
-    row (the dual-slot seeding loop shares row fetches between rank
-    queries whose positions land in the same octo row).
+    """occ4 at a stored position from an ALREADY-GATHERED 128-int32 octo
+    row (callers share row fetches between rank queries whose positions
+    land in the same octo row).
 
-    q96: (..., 96) int32 octo row containing block ``blk``;
+    q128: (..., 128) int32 octo row containing block ``blk``;
     blk = j >> 7, off = j & 127 for stored position j; ``mine`` is the
     shard-ownership mask from the row fetch (None when unsharded).
-    Must equal occ4_stored(fm, j) whenever q96 is blk's octo row."""
-    sub = q96.reshape(q96.shape[:-1] + (OCT_BLOCKS, 12))
+    Must equal occ4_stored(fm, j) whenever q128 is blk's octo row."""
+    sub = q128[..., :96].reshape(q128.shape[:-1] + (OCT_BLOCKS, 12))
     pick_idx = jnp.broadcast_to((blk & 7).astype(jnp.int32)[..., None],
                                 blk.shape + (12,))
     row = _pick(sub, pick_idx, axis=-2)
@@ -263,8 +285,8 @@ def occ_rows_for(fm: FMDevice, r: jnp.ndarray, axis: str | None = None):
     backward pass in kernels/seed.py)."""
     j = r - (r > fm.primary).astype(r.dtype)
     blk = j >> _LOG2_OCC_BLOCK
-    row96, mine = _table_row(fm.blocks, blk >> 3, axis)
-    return row96, blk, (j & (OCC_BLOCK - 1)).astype(jnp.int32), mine
+    row128, mine = _table_row(fm.blocks, blk >> 3, axis)
+    return row128, blk, (j & (OCC_BLOCK - 1)).astype(jnp.int32), mine
 
 
 def occ_c_from_pair(fm: FMDevice, rowsA: jnp.ndarray, rowsB: jnp.ndarray,
@@ -279,8 +301,8 @@ def occ_c_from_pair(fm: FMDevice, rowsA: jnp.ndarray, rowsB: jnp.ndarray,
     jp = p - (p > fm.primary).astype(p.dtype)
     blkp = jp >> _LOG2_OCC_BLOCK
     useA = (blkp >> 3) == octA
-    row96 = jnp.where(useA[..., None], rowsA, rowsB)
-    sub = row96.reshape(row96.shape[:-1] + (OCT_BLOCKS, 12))
+    row128 = jnp.where(useA[..., None], rowsA, rowsB)
+    sub = row128[..., :96].reshape(row128.shape[:-1] + (OCT_BLOCKS, 12))
     pick_idx = jnp.broadcast_to((blkp & 7).astype(jnp.int32)[..., None],
                                 blkp.shape + (12,))
     row = _pick(sub, pick_idx, axis=-2)

@@ -20,6 +20,7 @@ Must agree exactly with the oracle's collect_intv (tests/test_seed_device.py).
 from __future__ import annotations
 
 import functools
+import typing
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +35,16 @@ PH_BWD = 2     # backward pass of smem1
 PH_R3 = 3      # bwt_seed_strategy1 forward scan
 PH_DONE = 4
 PH_R3J = 5     # round-3 jump pending: fetch the depth-J prefix interval
+# in-loop s==1 fast-forward phases (see collect_seeds_device docstring);
+# every one of them costs exactly one shared-gather iteration
+PH_FR = 6      # SA resolve: LF walk to a marked rank (marks ride in-row)
+PH_FCT = 7     # fetch the sa_cnt word -> sample slot            [heavy]
+PH_FSM = 8     # fetch the sa_sample value -> text position      [heavy]
+PH_FCM = 9     # packed-text compare, <=64 bases per iteration   [heavy]
+PH_FIA = 10    # fetch the ISA anchor (BWD landing rank)         [heavy]
+PH_FIW = 11    # LF walk down from the anchor to the landing rank
+
+N_PHASES = 12
 
 JUMP_DEPTH = 8  # r3 jump table depth (4^J keys)
 
@@ -43,6 +54,11 @@ RD_RESEED = 1  # round 2: re-seed long low-occ SMEMs
 RD_LAST = 2    # round 3: LAST-like seeds
 
 DEBUG_CENSUS = False  # tools/iter_split.py: per-phase iteration counters
+# debug bisection: subset of {"fwd", "bwd", "r3"} whose fast-forward
+# entries are suppressed (module-level, trace-time — tests only)
+FF_DISABLE: set = set()
+FF_LIGHT = True     # trace the light decode (LF walk / marks)  [debug]
+FF_HEAVY = "half"   # "half" | "never" | "always"               [debug]
 
 
 @functools.partial(jax.jit, static_argnames=("depth",))
@@ -84,16 +100,38 @@ def _r3_jump_rows(fm: kfm.FMDevice, depth: int = JUMP_DEPTH) -> jnp.ndarray:
     return jnp.stack([row_a, row_b], axis=1).reshape(2 * K, 12)
 
 
-# v5e gathers run ~2x slower once the table leaves a fast tier
-# (measured on the seeding loop: a 5.1 MB extended table gathers at the
-# small-table rate, 6.3 MB does not). The jump must not push a small
-# table over the cliff; tables already clearly past it pay nothing
-# extra for the full-depth extension.
-_FAST_TIER_BYTES = int(5.2 * (1 << 20))
+# v5e gathers slow down once the table leaves a fast tier. RE-MEASURED
+# round 3 (tools/ab_table_size.py, the real seeding loop with junk rows
+# appended): 5.1 -> 13.1 MB free, ~29 MB +6%, ~53 MB +66% — the round-1
+# "5.1 fast / 6.3 slow" cliff is gone on current libtpu. The depth-8
+# jump (+6.3 MB) and the fast-forward regions (~21 MB at E. coli scale,
+# mostly cold rows) both fit under the knee.
+_FAST_TIER_BYTES = int(20 * (1 << 20))
+
+
+def _pick_jump_depth(n_blocks: int, base: int) -> int:
+    """Largest jump depth whose table extension stays under the gather
+    fast tier (any depth is free once the table is already past it)."""
+    if n_blocks * 48 >= _FAST_TIER_BYTES:
+        return JUMP_DEPTH
+    for d in (JUMP_DEPTH, 6):
+        if (base + 2 * (4 ** d)) * 48 <= _FAST_TIER_BYTES:
+            return d
+    return 0
+
+
+def _pack_jump_oct(rows: jnp.ndarray) -> jnp.ndarray:
+    """(2K, 12) synthetic block rows -> (2K/8, 128) octo rows (mark
+    columns zero: jump rows are never LF-stepped)."""
+    K2 = rows.shape[0]
+    r96 = rows.reshape(K2 // kfm.OCT_BLOCKS, 12 * kfm.OCT_BLOCKS)
+    return jnp.concatenate(
+        [r96, jnp.zeros((r96.shape[0], kfm.OCT_COLS - 96), jnp.int32)],
+        axis=1)
 
 
 def build_r3_jump(fm: kfm.FMDevice, depth: int | None = None,
-                  host_blocks=None,
+                  host_blocks=None, host_sa_bits=None,
                   host_splice_threshold: int = 1 << 30,
                   ) -> tuple[kfm.FMDevice, int, int]:
     """Extend an FMDevice with the r3 jump table; returns
@@ -108,24 +146,22 @@ def build_r3_jump(fm: kfm.FMDevice, depth: int | None = None,
     ``host_blocks`` (the numpy blocks table, e.g. ``idx.blocks``) lets
     multi-GB indexes splice the jump rows on HOST: the device
     concatenate transiently multiplies the table allocation and OOMs a
-    16 GB HBM at GRCh38 scale."""
+    16 GB HBM at GRCh38 scale. ``host_sa_bits`` must ride along there so
+    the spliced table keeps its in-row SA-mark words (pack_oct)."""
     import numpy as np
 
     n_blocks = fm.n_block_rows  # octo layout: blocks.shape[0] * 8
     base = -(-n_blocks // kfm.MAJOR_BLOCKS) * kfm.MAJOR_BLOCKS
     if depth is None:
-        if n_blocks * 48 >= _FAST_TIER_BYTES:
-            depth = JUMP_DEPTH  # already past the cliff: maximize skips
-        elif (base + 2 * (4 ** 6)) * 48 <= _FAST_TIER_BYTES:
-            depth = 6           # fits under the cliff
-        else:
-            return fm, 0, 0     # any extension would cross it: no jump
+        depth = _pick_jump_depth(n_blocks, base)
+        if depth == 0:
+            return fm, 0, 0
     K = 4 ** depth
     max_rank = (base + 2 * K) * kfm.OCC_BLOCK + 2
     if fm.rank_dtype == jnp.int32 and max_rank >= 2**31:
         return fm, 0, 0
     rows = _r3_jump_rows(fm, depth)  # (2K, 12) block rows; 2K % 8 == 0
-    rows_oct = rows.reshape(2 * K // kfm.OCT_BLOCKS, 12 * kfm.OCT_BLOCKS)
+    rows_oct = _pack_jump_oct(rows)
     majors_ext = jnp.concatenate(
         [fm.occ_majors, jnp.zeros((1, 4), fm.occ_majors.dtype)], axis=0)
     if host_blocks is not None and fm.blocks.nbytes > host_splice_threshold:
@@ -133,20 +169,217 @@ def build_r3_jump(fm: kfm.FMDevice, depth: int | None = None,
         ext = np.zeros((base + 2 * K, 12), np.int32)
         ext[: host_blocks.shape[0]] = host_blocks
         ext[base:] = np.asarray(jax.device_get(rows))
-        blocks_ext = jax.device_put(jnp.asarray(kfm.pack_oct(ext)), dev)
+        blocks_ext = jax.device_put(
+            jnp.asarray(kfm.pack_oct(ext, host_sa_bits)), dev)
     else:
-        pad = jnp.zeros(((base - n_blocks) // kfm.OCT_BLOCKS,
-                         12 * kfm.OCT_BLOCKS), jnp.int32)
+        pad = jnp.zeros(((base - n_blocks) // kfm.OCT_BLOCKS, kfm.OCT_COLS),
+                        jnp.int32)
         blocks_ext = jnp.concatenate([fm.blocks, pad, rows_oct], axis=0)
     return fm._replace(blocks=blocks_ext, occ_majors=majors_ext), base, depth
 
 
+class SeedTable(typing.NamedTuple):
+    """Static (hashable) row map of the unified seeding table.
+
+    Everything the seeding loop ever looks up lives as ROWS of ONE
+    device table (``fm.blocks``), so every phase — Occ extensions, the
+    r3 prefix jump, and all five fast-forward lookups — rides the
+    loop's single fused row gather with zero extra gather ops (the
+    round-2 finding: a dependent-chain gather step costs ~77 us FIXED
+    regardless of rows, so any second gather op per iteration is ruinous
+    — BENCH_NOTES). Region bases are octo-ROW indices into the table;
+    0 disables a region. ``pair`` marks rank-valued regions stored as
+    lo/hi int32 pairs (int64 indexes, > 2^31 doubled bases)."""
+
+    jump_base: int = 0   # r3 prefix-jump base (BLOCK units, as before)
+    jump_depth: int = 0
+    cnt_row: int = 0     # sa_cnt words: marks before each 128-rank row
+    smp_row: int = 0     # sa_sample values (SA of marked ranks)
+    isa_row: int = 0     # sampled inverse SA (rank of position k*interval)
+    pac_row: int = 0     # packed doubled text, 2048 bases/row
+    pair: bool = False
+
+    @property
+    def ff(self) -> bool:
+        return self.smp_row > 0
+
+
+def build_seed_table(fm: kfm.FMDevice, idx, depth: int | None = None,
+                     with_ff: bool = True) -> tuple[kfm.FMDevice, SeedTable]:
+    """Assemble the unified seeding table: the (mark-carrying) Occ octo
+    rows, the r3 jump rows, and — when ``with_ff`` — the fast-forward
+    regions (sa_cnt / sa_sample / ISA / packed doubled text) appended as
+    128-int32 rows of the same array. Assembly is HOST-side numpy (one
+    device_put): device concatenates transiently double the allocation
+    and OOM a 16 GB HBM at GRCh38 scale.
+
+    ``idx`` is the host FMIndex. ``depth`` None auto-picks the jump
+    depth (build_r3_jump rules); 0 disables the jump."""
+    import numpy as np
+
+    from bioseqdb_tpu.kernels.extend import pack_doubled_rows
+
+    n_blocks = fm.n_block_rows
+    base = -(-n_blocks // kfm.MAJOR_BLOCKS) * kfm.MAJOR_BLOCKS
+    jd = depth
+    if jd is None:
+        jd = _pick_jump_depth(n_blocks, base)
+    if jd > 0:
+        K = 4 ** jd
+        max_rank = (base + 2 * K) * kfm.OCC_BLOCK + 2
+        if fm.rank_dtype == jnp.int32 and max_rank >= 2**31:
+            jd = 0
+    if jd == 0:
+        base = n_blocks  # no jump: regions start right after the blocks
+        K = 0
+    pair = fm.rank_dtype == jnp.int64
+    vpr = 64 if pair else 128  # values per 128-int32 row
+
+    def val_rows(vals: np.ndarray, as_pair: bool | None = None) -> np.ndarray:
+        """Values -> (ceil(n/vpr), 128) int32 rows (lo/hi pairs when
+        ``as_pair``; value v at row v//vpr, word v%vpr (or word pair))."""
+        v = np.asarray(vals)
+        as_pair = pair if as_pair is None else as_pair
+        nrows = -(-max(v.shape[0], 1) // (64 if as_pair else 128))
+        if as_pair:
+            out = np.zeros((nrows, 128), np.int32)
+            flat = out.reshape(-1)
+            v64 = v.astype(np.uint64)
+            flat[0 : 2 * v.shape[0] : 2] = (v64 & 0xFFFFFFFF).astype(
+                np.uint32).view(np.int32)
+            flat[1 : 2 * v.shape[0] : 2] = (v64 >> 32).astype(
+                np.uint32).view(np.int32)
+            return flat.reshape(nrows, 128)
+        out = np.zeros(nrows * 128, np.int32)
+        out[: v.shape[0]] = v.astype(np.uint32).view(np.int32)
+        return out.reshape(nrows, 128)
+
+    parts = []  # (row_offset, np array) appended after base8 rows
+    base8 = base // kfm.OCT_BLOCKS
+    cursor = base8 + (2 * K) // kfm.OCT_BLOCKS
+    cnt_row = smp_row = isa_row = pac_row = 0
+    if with_ff:
+        # the sa_cnt region is ALWAYS single int32 words (relative minor
+        # counts fit int32 at any scale), even when rank values pair up
+        cnt = val_rows(np.asarray(idx.sa_bits[:, 0]), as_pair=False)
+        cnt_row, cursor = cursor, cursor + cnt.shape[0]
+        parts.append(cnt)
+        smp = val_rows(np.asarray(idx.sa_sample))
+        smp_row, cursor = cursor, cursor + smp.shape[0]
+        parts.append(smp)
+        isa = val_rows(idx.isa_sample_array())
+        isa_row, cursor = cursor, cursor + isa.shape[0]
+        parts.append(isa)
+        pac = np.asarray(idx.packed_doubled_rows(pack_doubled_rows))
+        pac_row, cursor = cursor, cursor + pac.shape[0]
+        parts.append(pac)
+
+    # host assembly: existing blocks + pad-to-base + jump + regions
+    out = np.zeros((cursor, kfm.OCT_COLS), np.int32)
+    nb8 = fm.blocks.shape[0]
+    out[:nb8] = np.asarray(jax.device_get(fm.blocks))
+    if jd > 0:
+        rows = np.asarray(jax.device_get(_r3_jump_rows(fm, jd)))
+        out[base8 : base8 + (2 * K) // kfm.OCT_BLOCKS] = np.concatenate(
+            [rows.reshape(-1, 96),
+             np.zeros((2 * K // kfm.OCT_BLOCKS, kfm.OCT_COLS - 96),
+                      np.int32)], axis=1)
+    r = base8 + (2 * K) // kfm.OCT_BLOCKS
+    for p in parts:
+        out[r : r + p.shape[0]] = p
+        r += p.shape[0]
+    dev = next(iter(fm.blocks.devices()), None)
+    blocks_ext = jax.device_put(jnp.asarray(out), dev)
+    majors_ext = jnp.concatenate(
+        [fm.occ_majors, jnp.zeros((1, 4), fm.occ_majors.dtype)], axis=0)
+    table = SeedTable(jump_base=base if jd > 0 else 0, jump_depth=jd,
+                      cnt_row=cnt_row, smp_row=smp_row, isa_row=isa_row,
+                      pac_row=pac_row, pair=pair)
+    return fm._replace(blocks=blocks_ext, occ_majors=majors_ext), table
+
+
+# ---- bit helpers for the in-loop fast-forward ------------------------------
+
+
+def _row_addr(row, rdt):
+    """A conceptual rank whose occ_rows_for row fetch lands exactly on
+    octo row ``row`` (mid-row rank: immune to the primary off-by-one)."""
+    return (row.astype(rdt) << 10) + 512
+
+
+def _hibit(y: jnp.ndarray) -> jnp.ndarray:
+    """floor(log2(y)) for uint32 y > 0 (0 for y == 0); 5 dense steps."""
+    y = y.astype(jnp.uint32)
+    hb = jnp.zeros(y.shape, jnp.int32)
+    for s in (16, 8, 4, 2, 1):
+        big = (y >> jnp.uint32(s)) != 0
+        y = jnp.where(big, y >> jnp.uint32(s), y)
+        hb = hb + jnp.where(big, s, 0)
+    return hb
+
+
+def _rev2(v: jnp.ndarray) -> jnp.ndarray:
+    """Reverse the 16 2-bit groups within each uint32 word."""
+    v = v.astype(jnp.uint32)
+    m1, m2, m3 = jnp.uint32(0x33333333), jnp.uint32(0x0F0F0F0F), jnp.uint32(0x00FF00FF)
+    v = ((v >> jnp.uint32(2)) & m1) | ((v & m1) << jnp.uint32(2))
+    v = ((v >> jnp.uint32(4)) & m2) | ((v & m2) << jnp.uint32(4))
+    v = ((v >> jnp.uint32(8)) & m3) | ((v & m3) << jnp.uint32(8))
+    return (v >> jnp.uint32(16)) | (v << jnp.uint32(16))
+
+
+def _funnel(words: jnp.ndarray, wshift: jnp.ndarray, bshift: jnp.ndarray,
+            nw: int, fill: int = 0) -> jnp.ndarray:
+    """Extract ``nw`` uint32 words of the 2-bit base stream starting at
+    base offset ``16*wshift + bshift`` of ``words`` (big-endian within
+    words). Pure barrel/funnel shifts — no gathers."""
+    W = words.shape[-1]
+    x = dense.shift_left(words, wshift.astype(jnp.int32), W, fill=fill)
+    x = jnp.concatenate(
+        [x[..., : nw + 1],
+         jnp.full(x.shape[:-1] + (max(0, nw + 1 - x.shape[-1]),), fill,
+                  x.dtype)], axis=-1)[..., : nw + 1]
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    s = (2 * bshift).astype(jnp.uint32)[..., None]
+    lo = jnp.where(s > 0, u[..., 1:] >> (jnp.uint32(32) - s), 0)
+    return jnp.where(s > 0, (u[..., :-1] << s) | lo, u[..., :-1])
+
+
+def _pack16(codes: jnp.ndarray, amb_fill: bool = False):
+    """Pack (B, W) int32 codes into (codes_words, amb_words): 16
+    2-bit codes per uint32-as-int32 word, big-endian; amb words flag
+    codes >= 4 as group 0b11 (so one funnel pipeline serves both)."""
+    B, W = codes.shape
+    NW = -(-W // 16)
+    pad = NW * 16 - W
+    c = jnp.pad(codes, ((0, 0), (0, pad)), constant_values=4)
+    grp = c.reshape(B, NW, 16).astype(jnp.uint32)
+    sh = (2 * (15 - jnp.arange(16, dtype=jnp.uint32)))[None, None, :]
+    cw = ((grp & 3) << sh).sum(axis=2, dtype=jnp.uint32)
+    aw = (jnp.where(grp >= 4, jnp.uint32(3), jnp.uint32(0)) << sh).sum(
+        axis=2, dtype=jnp.uint32)
+    i32 = lambda u: jax.lax.bitcast_convert_type(u, jnp.int32)
+    return i32(cw), i32(aw)
+
+
+def _first_group(y: jnp.ndarray, cap: jnp.ndarray) -> jnp.ndarray:
+    """Index of the first flagged 2-bit group in a (…, NW) uint32 flag
+    stream (flags at even bit 2*(15-j) of each word), capped at ``cap``.
+    """
+    nz = y != 0
+    anyw = jnp.any(nz, axis=-1)
+    fw = jnp.argmax(nz, axis=-1).astype(jnp.int32)
+    yw = dense.pick(jax.lax.bitcast_convert_type(y, jnp.int32), fw,
+                    axis=-1)
+    j = 15 - (_hibit(yw) >> 1)
+    t = jnp.where(anyw, fw * 16 + j, jnp.int32(1 << 20))
+    return jnp.minimum(t, cap)
 @functools.partial(
     jax.jit,
     static_argnames=("min_seed_len", "split_width", "max_mem_intv", "split_len",
                      "max_cand", "max_mem", "max_iters", "shard_axis",
-                     "jump_base", "jump_depth", "dual", "sa_interval",
-                     "serve_every", "kcand"),
+                     "jump_base", "jump_depth", "sa_interval", "kcand",
+                     "table"),
 )
 def collect_seeds_device(
     fm: kfm.FMDevice,
@@ -162,12 +395,9 @@ def collect_seeds_device(
     shard_axis: str | None = None,
     jump_base: int = 0,
     jump_depth: int = JUMP_DEPTH,
-    dual: bool = False,
-    pac_rows: jnp.ndarray | None = None,
-    isa: jnp.ndarray | None = None,
     sa_interval: int = 32,
-    serve_every: int = 32,
     kcand: int = 1,
+    table: SeedTable | None = None,
 ):
     """Run all three seeding rounds for a batch of reads.
 
@@ -176,56 +406,66 @@ def collect_seeds_device(
     while_loop tail (every lane pays for the slowest). Capped lanes set
     ``overflow`` and fall back to the host oracle.
 
-    ``jump_base`` > 0 enables the round-3 depth-8 jump: the fm must be
-    build_r3_jump-extended, and each bwt_seed_strategy1 scan then starts
-    at depth 8 via one prefix-table fetch instead of 8 stepwise
-    extensions (exact-equivalent: stops before depth min_seed_len are
-    impossible, so the skipped states are unobservable).
+    ``jump_base`` > 0 enables the round-3 depth-J jump: the fm must be
+    build_r3_jump/build_seed_table-extended, and each bwt_seed_strategy1
+    scan then starts at depth J via one prefix-table fetch instead of J
+    stepwise extensions (exact-equivalent: stops before depth
+    min_seed_len are impossible, so the skipped states are unobservable).
 
-    ``pac_rows`` + ``isa`` enable the **s==1 fast-forward** service: once
-    a lane's live interval is unique (s == 1), its single occurrence has
-    a fixed doubled-text position, and every further extension is
-    exactly equivalent to a direct packed-text comparison — so a
-    periodic (every ``serve_every`` body steps) batched service resolves
-    the position (sa_resolve), compares the read tail against
-    ``pac_rows`` (extend.pack_doubled_rows layout), and jumps the lane's
-    state over the whole matched run in one step:
+    ``table`` (a build_seed_table result) enables the **in-loop s==1
+    fast-forward**: once a lane's live interval is unique (s == 1), its
+    single occurrence has a fixed doubled-text position, and every
+    further extension is exactly equivalent to a direct packed-text
+    comparison. Round 2 shipped this as a batched out-of-loop service
+    and measured it a NET LOSS: every service op paid a fixed dispatch
+    floor (~20 gathers x ~80 us per invocation — BENCH_NOTES round 2).
+    This round's form runs the whole fast-forward as extra state-machine
+    PHASES whose lookups ride the loop's ONE shared row gather — the
+    mark words live in the octo rows' spare 32 int32s (kernels/fm.py
+    pack_oct), and the sa_cnt / sa_sample / ISA / packed-text lookups
+    are appended ROWS of the same table (SeedTable) — so fast-forward
+    costs zero extra gather ops. Per origin phase:
 
-    - PH_FWD with ik.s == 1: the forward interval's k is INVARIANT while
-      s stays 1 (the occurrence start is fixed; extending right keeps
-      the same unique suffix), so the jump is {i += t, ik_end += t}; the
-      next stepwise iteration performs the mismatch/end step exactly.
-    - PH_BWD with a single s == 1 candidate: each matched column is
-      k <- LF(k); the landing k after t columns is the rank of the
-      suffix at (occurrence - t), recovered via the sampled inverse
-      suffix array (``isa``, kfm.isa_walk) instead of t LF steps.
-    - PH_R3 with ik.s == 1: the scan's remaining outcome (stop position,
-      emit-or-not) is fully determined (s <= 1 < max_mem_intv already,
-      so the scan stops at the first length >= min_seed_len), and k is
-      invariant — the service emits/stops directly.
+    - PH_FWD with ik.s == 1: resolve the occurrence (PH_FR LF walk with
+      in-row marked checks -> PH_FCT slot -> PH_FSM position), compare
+      the read tail against the packed doubled text (PH_FCM, <=64
+      bases/iteration), then complete the WHOLE forward pass directly:
+      push (k, 1, i+t) and take the fwd_done transition — bit-equal to
+      stepwise because with s == 1, k is invariant, no size change (and
+      hence no candidate push) can occur before the mismatch, and the
+      pass always terminates at the first mismatch/ambiguity/read-end,
+      which the comparison finds. The l half of the bi-interval is dead
+      after the pass (backward extension never reads it), so no reverse
+      rank is needed.
+    - PH_BWD with a single s == 1 candidate (min_intv == 1): same
+      resolve + reversed comparison; the landing k after t matched
+      columns is the rank of the suffix at (occurrence - t), recovered
+      via the sampled ISA (PH_FIA anchor + PH_FIW LF walk-down, <=
+      sa_interval - 1 steps) instead of t LF steps. The lane then jumps
+      to (prev[0] = (k_land, 1, end), i -= t) and the next stepwise
+      iteration fails the column and emits exactly.
+    - PH_R3 with ik.s <= 1: the scan's outcome is fully determined (at
+      s == 1 by the text comparison; at s == 0 by the read alone), so
+      the verdict (stop position, emit-or-not) is computed directly.
 
-    Mems emitted through a fast-forwarded path carry ``l = 0``: the
-    l half of the bi-interval is mathematically dead after the forward
-    pass (backward extension's k/s updates never read l — fm.py
-    fmd_extend_from_occ — and no downstream stage reads mems[:, 1];
-    chain.resolve_seeds uses columns 0/2/3/4 only). Lanes the service
-    doesn't reach keep running stepwise between services, so results are
-    exactly equal with the service on or off (tests/test_seed_ff.py);
-    only iteration counts differ. Sharded seeding (``shard_axis``)
-    currently disables the service (the pac/isa tables are not sharded
-    yet — dist/shard_index.py).
+    In-row mark checks carry an off-by-one caveat: marks are indexed by
+    RANK, Occ blocks by STORED position, so a rank that is a multiple of
+    128 (above ``primary``) has its mark word in the NEXT block's row.
+    The walk simply treats that case as unmarked and keeps stepping —
+    the next marked rank (<= interval steps later) yields the same
+    position arithmetic, and the primary rank (SA = 0, always marked) is
+    special-cased, so walks terminate and results are exact.
 
-    ``dual`` switches to dual-slot scheduling: adjacent lane PAIRS share
-    two gather-row slots per iteration. 67% of extensions have both
-    rank positions in one 512-base quad row (1 slot), so a pair usually
-    advances both reads per iteration while gathering HALF the rows per
-    read of the classic mode. Results are exactly equal to
-    ``dual=False`` (tests/test_seed_dual.py); only the schedule differs.
-    MEASURED SLOWER on v5e (5-6x per iteration, BENCH_NOTES session 3):
-    per-kernel launch overhead dominates at these widths, and the
-    arbitration/row-select constructs cost far more than the gather
-    rows they save. Kept as a documented negative result — revisit on
-    hardware with cheaper per-op overhead.
+    Heavy fast-forward phases (value decodes, the comparison) advance
+    only on every LOOP_UNROLL-th body step; their vector cost is paid
+    once per unrolled group instead of every iteration (the round-1
+    lesson: every extra per-iteration (B, W) pick costs like a rank
+    query). Lanes in those phases simply wait, their gather slot parked.
+
+    Sharded seeding (``shard_axis``) disables the fast-forward (the
+    appended regions are unsharded); results are exactly equal with the
+    fast-forward on or off (tests/test_seed_ff.py) — only iteration
+    counts differ.
 
     Returns dict with
       mems:  int32[B, max_mem, 5] — (k, l, s, start, end) per seed
@@ -236,19 +476,32 @@ def collect_seeds_device(
     P, M = max_cand, max_mem
     i32 = jnp.int32
     rdt = fm.seq_len.dtype  # rank dtype (int64 for >2^31 indexes)
-    if dual:
-        assert B % 2 == 0, "dual-slot seeding pairs adjacent lanes"
     if max_iters <= 0:
-        max_iters = (10 * W + 256) * (2 if dual else 1)
+        max_iters = 10 * W + 256
     J = jump_depth
     # stepwise r3 cannot stop before depth min_seed_len, so the jump is
     # only exact-equivalent when it skips strictly shorter depths
     jump = jump_base > 0 and J > 0 and min_seed_len >= J and W > J
-    # multi-candidate backward columns: KC candidates per iteration.
-    # Disabled under dual-slot scheduling and BWT-interval sharding (the
-    # in-row decodes are unsharded; sharded rank math would need a psum
-    # per candidate).
-    KC = kcand if (not dual and shard_axis is None and kcand > 0) else 1
+    # multi-candidate backward columns: KC candidates per iteration
+    # (in-row decodes are unsharded; sharded rank math would need a psum
+    # per candidate)
+    KC = kcand if (shard_axis is None and kcand > 0) else 1
+    ff = table is not None and table.ff and shard_axis is None
+    ff_r3 = ff and max_mem_intv > 1  # r3 verdicts assume s<=1 < max_mem_intv
+    v_ = sa_interval
+    pair = bool(table.pair) if ff else False
+    # ffa bitfield layout (i32): [0:2] origin (1 fwd, 2 bwd, 3 r3),
+    # [2:12] resolve steps / ISA walk-down remaining, [12:21] below-count
+    # then first-ambiguity offset, [21] dirty (r3 text mismatch),
+    # [22:31] compare progress
+    F_ORIG, F_STEP, F_AUX, F_DIRTY, F_FFT = 0, 2, 12, 21, 22
+
+    def fget(a, lo, width):
+        return (a >> lo) & ((1 << width) - 1)
+
+    def fset(a, lo, width, val):
+        m = ((1 << width) - 1) << lo
+        return (a & ~m) | ((val.astype(i32) << lo) & m)
 
     st = dict(
         phase=jnp.zeros(B, i32),
@@ -305,20 +558,30 @@ def collect_seeds_device(
         st["jpack"] = codes.astype(i32) | (
             (jnp.where(clean, key, -1) + 1) << 3)
         st["jkey_pend"] = jnp.zeros(B, i32)  # key latched at pivot time
-    if dual:
-        # pair arbitration fairness bit (even lane of each pair read;
-        # incoherence after compaction re-pairing is harmless)
-        st["pprio"] = jnp.zeros(B, i32)
+    if ff:
+        st["ffr"] = jnp.ones(B, rdt)     # walk rank / slot / landing rank
+        st["ffpos"] = jnp.zeros(B, rdt)  # resolved doubled-text position
+        st["ffa"] = jnp.zeros(B, i32)    # packed fast-forward scratch
+        # re-entry cooldown: a backward fast-forward that aborts (t == 0
+        # or no ISA anchor) returns to PH_BWD with state unchanged — the
+        # next entry check would fire again forever. The flag suppresses
+        # re-entry until the stepwise column completes (row_done).
+        st["ffcool"] = jnp.zeros(B, jnp.bool_)
+        # packed read streams (forward + reversed), 16 codes/word; amb
+        # streams flag codes >= 4 as 0b11 groups so one funnel pipeline
+        # serves codes and ambiguity alike. Inputs (loop-invariant), but
+        # carried in the state for straggler compaction.
+        cpk, apk = _pack16(codes)
+        rpk, rapk = _pack16(codes[:, ::-1])
+        st["cpk"], st["apk"] = cpk, apk
+        st["rpk"], st["rapk"] = rpk, rapk
     if DEBUG_CENSUS:
-        st["ph_census"] = jnp.zeros((B, 6), i32)
+        st["ph_census"] = jnp.zeros((B, N_PHASES), i32)
         st["bwd_dead"] = jnp.zeros(B, i32)
-        st["same_quad"] = jnp.zeros(B, i32)
-        st["same_oct"] = jnp.zeros(B, i32)
-        st["same_wrow"] = jnp.zeros(B, i32)
-        st["ext_n"] = jnp.zeros(B, i32)
         st["bwd_np1"] = jnp.zeros(B, i32)
         st["bwd_cols"] = jnp.zeros(B, i32)
-        st["bwd_cov"] = jnp.zeros(B, i32)
+        st["ff_events"] = jnp.zeros((B, 3), i32)  # fwd/bwd/r3 entries
+        st["ff_skip"] = jnp.zeros(B, i32)         # iterations skipped
     # lanes with no bases never run
     st["phase"] = jnp.where(lens > 0, PH_PIVOT, PH_DONE)
 
@@ -439,7 +702,53 @@ def collect_seeds_device(
         st["r2i"] = r2i
         return st
 
-    def body(st):
+    def ff_entry(st):
+        """Divert eligible s==1 lanes into the fast-forward phases.
+
+        Entry gates are pure perf heuristics (results are identical
+        either way): a fast-forward event costs ~(sa_interval/2 + 4)
+        iterations of phase traffic, so short remaining runs stay
+        stepwise."""
+        st = dict(st)
+        phase, x, i, L = st["phase"], st["x"], st["i"], st["lens"]
+        iks = st["ik"][:, 2]
+        p0 = st["prev"][:, 0, :]
+        gate = v_ // 2 + 6
+        e_fwd = (phase == PH_FWD) & (iks == 1) & (i < L) & (L - i >= gate)
+        e_bwd = ((phase == PH_BWD) & (st["n_prev"] == 1) & (st["j"] == 0)
+                 & (p0[:, 1] == 1) & (st["min_intv"] == 1) & (i >= gate)
+                 & ~st["ffcool"])
+        if ff_r3:
+            tau = x + min_seed_len - i
+            r3g = (phase == PH_R3) & (i < L) & (tau >= 0)
+            e_r31 = r3g & (iks == 1) & (tau >= max(2, v_ // 2 + 2))
+            e_r30 = r3g & (iks <= 0) & (tau >= 1)
+        else:
+            e_r31 = e_r30 = jnp.zeros_like(e_fwd)
+        if FF_DISABLE:  # debug bisection (module-level, tests only)
+            z = jnp.zeros_like(e_fwd)
+            if "fwd" in FF_DISABLE:
+                e_fwd = z
+            if "bwd" in FF_DISABLE:
+                e_bwd = z
+            if "r3" in FF_DISABLE:
+                e_r31 = e_r30 = z
+        res = e_fwd | e_bwd | e_r31
+        st["ffr"] = jnp.where(res, jnp.where(e_bwd, p0[:, 0], st["ik"][:, 0]),
+                              st["ffr"])
+        orig = jnp.where(e_fwd, 1, jnp.where(e_bwd, 2, 3)).astype(i32)
+        # fresh scratch: origin set, steps/fft/dirty zero, aux = 511
+        # (the first-ambiguity sentinel, > any read offset)
+        st["ffa"] = jnp.where(res | e_r30, orig | (511 << F_AUX), st["ffa"])
+        st["ffpos"] = jnp.where(e_r30, 0, st["ffpos"])
+        st["phase"] = jnp.where(
+            res, PH_FR, jnp.where(e_r30, PH_FCM, st["phase"]))
+        if "ff_events" in st:
+            ev = jnp.stack([e_fwd, e_bwd, e_r31 | e_r30], axis=1)
+            st["ff_events"] = st["ff_events"] + ev.astype(i32)
+        return st
+
+    def body(st, heavy: bool = True):
         # per-lane step budget: cap pathological lanes (overflow -> host)
         over_budget = (st["phase"] != PH_DONE) & (st["iters"] >= max_iters)
         st = dict(st)
@@ -448,55 +757,20 @@ def collect_seeds_device(
         st["iters"] = st["iters"] + (st["phase"] != PH_DONE).astype(i32)
 
         st = pivot_step(st)
+        if ff:
+            st = ff_entry(st)
 
         if "ph_census" in st:  # debug instrumentation (tools/iter_split.py)
-            oh = jax.nn.one_hot(st["phase"], 6, dtype=i32)
+            oh = jax.nn.one_hot(st["phase"], N_PHASES, dtype=i32)
             st["ph_census"] = st["ph_census"] + oh
             st["bwd_dead"] = st["bwd_dead"] + (
                 (st["phase"] == PH_BWD)
                 & ((st["i"] < 0) | (qat_in(st["codes"], st["i"]) >= 4))
             ).astype(i32)
-            # same-quad fraction: extensions whose two rank positions
-            # fall in one 512-base quad row (the dual-read premise)
-            live = (st["phase"] == PH_FWD) | (st["phase"] == PH_BWD) | (
-                st["phase"] == PH_R3)
-            jj = st["j"]
-            je = jnp.where(st["rev1"], st["n_prev"] - 1 - jj, jj)
-            biv = dense.pick_row(st["prev"], jnp.clip(je, 0, P - 1))
-            kk = jnp.where(st["phase"] == PH_BWD, biv[:, 0], st["ik"][:, 0])
-            ss = jnp.maximum(
-                jnp.where(st["phase"] == PH_BWD, biv[:, 1], st["ik"][:, 2]), 0)
-            p1 = kk - (kk > fm.primary).astype(kk.dtype)
-            k2 = kk + ss
-            p2 = k2 - (k2 > fm.primary).astype(k2.dtype)
-            same = (p1 >> 9) == (p2 >> 9)
-            st["same_quad"] = st["same_quad"] + (live & same).astype(i32)
-            # octo-row (1024-base) and wide-row (row pair, 2048-base
-            # window anchored at p1's octo row) locality: the candidate
-            # 192-int32 overlapping-row gather scheme needs p2 within
-            # p1's octo row + 1
-            st["same_oct"] = st["same_oct"] + (
-                live & ((p1 >> 10) == (p2 >> 10))).astype(i32)
-            st["same_wrow"] = st["same_wrow"] + (
-                live & ((p2 >> 10) - (p1 >> 10) <= 1)).astype(i32)
-            st["ext_n"] = st["ext_n"] + live.astype(i32)
-            # BWD column structure: how much of the backward pass is the
-            # serial n_prev==1 chain vs multi-candidate columns, and how
-            # often the column's covering interval (the shortest / last
-            # visited candidate — nesting makes it the widest) fits two
-            # octo rows (the multi-candidate decode premise)
             inb = st["phase"] == PH_BWD
             st["bwd_np1"] = st["bwd_np1"] + (
                 inb & (st["n_prev"] == 1)).astype(i32)
-            st["bwd_cols"] = st["bwd_cols"] + (inb & (jj == 0)).astype(i32)
-            cidx = jnp.where(st["rev1"], 0, jnp.clip(st["n_prev"] - 1, 0, P - 1))
-            cov = dense.pick_row(st["prev"], cidx)
-            ckv, csv = cov[:, 0], jnp.maximum(cov[:, 1], 0)
-            jAv = ckv - (ckv > fm.primary).astype(ckv.dtype)
-            c2 = ckv + csv
-            jBv = c2 - (c2 > fm.primary).astype(c2.dtype)
-            st["bwd_cov"] = st["bwd_cov"] + (
-                inb & ((jBv >> 10) - (jAv >> 10) <= 1)).astype(i32)
+            st["bwd_cols"] = st["bwd_cols"] + (inb & (st["j"] == 0)).astype(i32)
 
         phase = st["phase"]
         rnd = st["round"]
@@ -508,6 +782,7 @@ def collect_seeds_device(
         in_fwd = phase == PH_FWD
         in_bwd = phase == PH_BWD
         in_r3 = phase == PH_R3
+        nB = phase.shape[0]  # local width (compaction narrows the state)
 
         # ---- the one batched FMD extension everybody shares ----
         # forward lanes extend st.ik (or r3 ik) forward by q[i];
@@ -518,7 +793,7 @@ def collect_seeds_device(
         # of `cand` (a (B,P,P) one-hot every iteration), read prev in
         # reverse index order while `rev1` is set
         j_eff = jnp.where(st["rev1"], st["n_prev"] - 1 - j, j)
-        bwd_iv = dense.pick_row(st["prev"], jnp.clip(j_eff, 0, P - 1))  # (B, 4)
+        bwd_iv = dense.pick_row(st["prev"], jnp.clip(j_eff, 0, P - 1))  # (B, 3)
         if KC > 1:
             # ---- multi-candidate backward columns ----
             # A column's candidates are NESTED intervals (they share the
@@ -560,9 +835,7 @@ def collect_seeds_device(
         if jump:
             # r3-jump lanes redirect their two gather slots at the prefix
             # table: rank A hits synthetic block base+2*key at offset 0,
-            # A + 128 the next row (_r3_jump_rows layout; base is
-            # 64-aligned and keys take 2 rows, so both rows always share
-            # one quad — a 1-slot fetch under dual)
+            # A + 128 the next row (_r3_jump_rows layout)
             in_r3j = phase == PH_R3J
             A = ((jnp.asarray(jump_base, rdt) + 2 * st["jkey_pend"])
                  * kfm.OCC_BLOCK + 1).astype(rdt)
@@ -570,93 +843,66 @@ def collect_seeds_device(
             s_eff = jnp.where(in_r3j, kfm.OCC_BLOCK, s_eff)
         else:
             in_r3j = jnp.zeros_like(in_fwd)
-        if not dual and KC > 1:
-            # rows-based form of fmd_extend_back (bit-identical): the raw
-            # octo rows stay available for the multi-candidate decodes
-            both = jnp.concatenate([a, a + s_eff])
-            rows2, blk2, off2, mine2 = kfm.occ_rows_for(fm, both, shard_axis)
-            occ4b = kfm.occ4_from_quad(fm, rows2, blk2, off2, mine2,
-                                       shard_axis)
-            nB = a.shape[0]  # local width (compaction narrows the state)
-            o1, o2 = occ4b[:nB], occ4b[nB:]
-            k4, l4, s4 = kfm.fmd_extend_from_occ(fm, a, b, s_eff, o1, o2)
-        elif not dual:
-            k4, l4, s4 = kfm.fmd_extend_back(fm, a, b, s_eff, axis=shard_axis)
-        else:
-            # ---- dual-slot schedule: 2 gather rows per lane PAIR ----
-            # Each extension needs occ4 at positions a and a+s. Quads
-            # (512-base / 192-byte rows) usually cover both; arbitrate
-            # the pair's two row slots between its two machines, gather
-            # once, and decode occ4 from the fetched quads.
-            live = in_fwd | in_bwd | in_r3 | in_r3j
-            r2p = a + s_eff
-            nmax = fm.n_block_rows * kfm.OCC_BLOCK - 1
-            j1 = jnp.clip(a - (a > fm.primary).astype(rdt), 0, nmax)
-            j2 = jnp.clip(r2p - (r2p > fm.primary).astype(rdt), 0, nmax)
-            b1 = j1 >> 7
-            b2 = j2 >> 7
-            q1 = (b1 >> 3).astype(i32)   # octo row ids (kfm.OCT_BLOCKS)
-            q2 = (b2 >> 3).astype(i32)
-            need = jnp.where(live, 1 + (q1 != q2).astype(i32), 0)
-            nA, nB = need[0::2], need[1::2]
-            prio = st["pprio"][0::2]
-            both_go = (nA + nB) <= 2
-            tie = ~both_go & (nA == nB)          # (2,2): fairness bit picks
-            winA = ~both_go & ((nA > nB) | (tie & (prio == 0)))
-            winB = ~both_go & ~winA
-            goA = (nA > 0) & (both_go | winA)
-            goB = (nB > 0) & (both_go | winB)
-            npq = jnp.where(tie, 1 - prio, prio)
-            st["pprio"] = jnp.stack([npq, npq], axis=1).reshape(-1)
-            q1A, q2A = q1[0::2], q2[0::2]
-            q1B, q2B = q1[1::2], q2[1::2]
-            # slot contents: granted machines in machine order; a lone
-            # 1-row grant duplicates its quad into the spare slot
-            slot0 = jnp.where(goA, q1A, jnp.where(goB, q1B, 0))
-            slot1 = jnp.where(
-                goA & (nA == 2), q2A,
-                jnp.where(goB, jnp.where(nB == 2, q2B, q1B),
-                          jnp.where(goA, q1A, 0)))
-            # ONE flat gather (2-D index gathers and half-width strided
-            # math lower terribly on TPU — first draft ran 6x slower)
-            rows_flat, mine_flat = kfm._table_row(
-                fm.blocks,
-                jnp.stack([slot0, slot1], axis=1).reshape(-1), shard_axis)
-            pairs = rows_flat.reshape(-1, 2, 96)
-            rep2 = lambda v: jnp.repeat(v, 2, axis=0)
-            rows0m = rep2(pairs[:, 0])       # pair slot0 row, per machine
-            rows1m = rep2(pairs[:, 1])
-            # which slot serves each (machine, position): machine A's j1
-            # is always slot0; its j2 is slot1 iff it needs 2 rows;
-            # machine B sits in slot1 iff A was granted slot0
-            selA2 = goA & (nA == 2)
-            selB1 = goA
-            selB2 = jnp.where(nB == 2, True, selB1)
-            zs = jnp.zeros_like(selB1)
-            sel1 = jnp.stack([zs, selB1], axis=1).reshape(-1)
-            sel2 = jnp.stack([selA2, selB2], axis=1).reshape(-1)
-            row_j1 = jnp.where(sel1[:, None], rows1m, rows0m)
-            row_j2 = jnp.where(sel2[:, None], rows1m, rows0m)
-            if mine_flat is None:
-                mine_j1 = mine_j2 = None
+
+        if ff:
+            ffr = st["ffr"]
+            ffa = st["ffa"]
+            ffpos = st["ffpos"]
+            orig2 = ffa & 3
+            steps_v = fget(ffa, F_STEP, 10)
+            fft_v = fget(ffa, F_FFT, 9)
+            in_fr = phase == PH_FR
+            in_fiw = phase == PH_FIW
+            in_fct = phase == PH_FCT
+            in_fsm = phase == PH_FSM
+            in_fcm = phase == PH_FCM
+            in_fia = phase == PH_FIA
+            heavy_ph = in_fct | in_fsm | in_fcm | in_fia
+            # LF-walk lanes gather the octo row of their current rank
+            walk = in_fr | in_fiw
+            a = jnp.where(walk, ffr, a)
+            s_eff = jnp.where(walk, 0, s_eff)
+            if heavy:
+                # synthesized row addresses (see _row_addr): every
+                # fast-forward lookup is a row of the SAME table
+                rb7 = (ffr >> 7)
+                addr_cnt = _row_addr(
+                    jnp.asarray(table.cnt_row, rdt) + (rb7 >> 7), rdt)
+                vsh = 6 if pair else 7
+                addr_smp = _row_addr(
+                    jnp.asarray(table.smp_row, rdt) + (ffr >> vsh), rdt)
+                ptv = jnp.maximum(ffpos - fft_v.astype(rdt), 0)
+                anchor = ((ptv + (v_ - 1)) // v_) * v_
+                aidx = anchor // v_
+                addr_isa = _row_addr(
+                    jnp.asarray(table.isa_row, rdt) + (aidx >> vsh), rdt)
+                is_bo = orig2 == 2
+                tpos_f = ffpos + (i + fft_v - x).astype(rdt)
+                tpos_b = ffpos - fft_v.astype(rdt) - 1
+                tcur = jnp.where(is_bo, tpos_b, tpos_f)
+                tcur_c = jnp.clip(tcur, 0, fm.seq_len)
+                addr_pac = _row_addr(
+                    jnp.asarray(table.pac_row, rdt) + (tcur_c >> 11), rdt)
+                a = jnp.where(in_fct, addr_cnt, a)
+                a = jnp.where(in_fsm, addr_smp, a)
+                a = jnp.where(in_fia, addr_isa, a)
+                a = jnp.where(in_fcm, addr_pac, a)
             else:
-                mp = mine_flat.reshape(-1, 2)
-                m0, m1 = rep2(mp[:, 0:1])[:, 0], rep2(mp[:, 1:2])[:, 0]
-                mine_j1 = jnp.where(sel1, m1, m0)
-                mine_j2 = jnp.where(sel2, m1, m0)
-            om = kfm.OCC_BLOCK - 1
-            o1 = kfm.occ4_from_quad(
-                fm, row_j1, b1, (j1 & om).astype(i32), mine_j1, shard_axis)
-            o2 = kfm.occ4_from_quad(
-                fm, row_j2, b2, (j2 & om).astype(i32), mine_j2, shard_axis)
-            k4, l4, s4 = kfm.fmd_extend_from_occ(fm, a, b, s_eff, o1, o2)
-            go = live & jnp.stack([goA, goB], axis=1).reshape(-1)
-            # machines not granted this iteration do nothing: gate every
-            # phase predicate (their extension runs on a later iteration)
-            in_fwd = in_fwd & go
-            in_bwd = in_bwd & go
-            in_r3 = in_r3 & go
-            in_r3j = in_r3j & go
+                a = jnp.where(heavy_ph, 1, a)
+            s_eff = jnp.where(heavy_ph, 0, s_eff)
+            if "ff_skip" in st and not heavy:
+                st["ff_skip"] = st["ff_skip"] + heavy_ph.astype(i32)
+
+        # rows-based fused extension (bit-identical to fmd_extend_back):
+        # the raw octo rows stay available for the fast-forward decodes
+        # and the multi-candidate decodes
+        both = jnp.concatenate([a, a + s_eff])
+        rows2, blk2, off2, mine2 = kfm.occ_rows_for(fm, both, shard_axis)
+        occ4b = kfm.occ4_from_quad(fm, rows2, blk2, off2, mine2, shard_axis)
+        o1, o2 = occ4b[:nB], occ4b[nB:]
+        k4, l4, s4 = kfm.fmd_extend_from_occ(fm, a, b, s_eff, o1, o2)
+        rowsA, blkA, offA = rows2[:nB], blk2[:nB], off2[:nB]
+
         c_raw = qi
         c_ext = jnp.where(in_bwd, c_raw, 3 - c_raw)
         c_sel = jnp.clip(c_ext, 0, 3)
@@ -668,9 +914,8 @@ def collect_seeds_device(
             # single-code extensions of the earlier-visited (longer,
             # nested) candidates, decoded from the two fetched covering
             # rows — no extra gather rows
-            nB = j.shape[0]  # local width (compaction narrows the state)
-            rowsA, rowsB = rows2[:nB], rows2[nB:]
-            octA = (blk2[:nB] >> 3)
+            rowsB = rows2[nB:]
+            octA = (blkA >> 3)
             L2c = kfm._lut(fm.L2, c_sel)
             sub_k, sub_s, sub_iv = [], [], []
             for t in range(KC - 1):
@@ -686,15 +931,230 @@ def collect_seeds_device(
                 sub_s.append(o2c - o1c)
                 sub_iv.append(civ)
 
+        # ---- fast-forward decodes --------------------------------------
+        # default (ff off / not heavy): no verdicts this iteration
+        ffD_fwd = jnp.zeros(nB, jnp.bool_)
+        total_f = jnp.zeros(nB, i32)
+        ffD_r3 = jnp.zeros(nB, jnp.bool_)
+        r3_pre = jnp.zeros(nB, jnp.bool_)
+        r3_emit = jnp.zeros(nB, jnp.bool_)
+        x3_ff = jnp.zeros(nB, i32)
+        apply_bwd = jnp.zeros(nB, jnp.bool_)
+        kland = jnp.zeros(nB, rdt)
+        ff_abort = jnp.zeros(nB, jnp.bool_)
+        if ff and FF_LIGHT:
+            new_ffr, new_ffa, new_ffpos = ffr, ffa, ffpos
+            new_phase_ff = phase
+            # ---- LF step + in-row mark check (PH_FR / PH_FIW) ----
+            # c at stored position (blkA, offA); LF = L2[c] + occ4B[c] + 1
+            subA = rowsA[..., :96].reshape((nB, kfm.OCT_BLOCKS, 12))
+            pick8 = jnp.broadcast_to(((blkA & 7).astype(i32))[:, None],
+                                     (nB, 12))
+            rowA12 = dense.pick(subA, pick8, axis=-2)
+            wsel_i = dense.pick(rowA12[:, 4:], (offA >> 4), axis=-1)
+            wsel = jax.lax.bitcast_convert_type(wsel_i, jnp.uint32)
+            c_fr = ((wsel >> (2 * (15 - (offA & 15))).astype(jnp.uint32))
+                    & 3).astype(i32)
+            occ_c = dense.pick(o1, c_fr, axis=-1)
+            lf = kfm._lut(fm.L2, c_fr) + occ_c + 1
+            lf = jnp.where(ffr == fm.primary, 0, lf)
+            # in-row mark bit + below-count for the walked rank. Marks
+            # are rank-indexed: valid only when the rank's 128-block is
+            # the gathered stored block (see docstring caveat).
+            msubA = rowsA[..., 96:].reshape((nB, kfm.OCT_BLOCKS, 4))
+            mpick = jnp.broadcast_to(((blkA & 7).astype(i32))[:, None],
+                                     (nB, 4))
+            mrow = dense.pick(msubA, mpick, axis=-2)      # (nB, 4) int32
+            mvalid = (ffr >> 7) == blkA
+            mw = ((ffr >> 5) & 3).astype(i32)
+            mword = jax.lax.bitcast_convert_type(
+                dense.pick(mrow, mw, axis=-1), jnp.uint32)
+            mbit = (ffr & 31).astype(jnp.uint32)
+            marked = mvalid & (((mword >> mbit) & 1) == 1)
+            wall = jax.lax.bitcast_convert_type(mrow, jnp.uint32)
+            widx4 = jnp.arange(4, dtype=i32)[None, :]
+            nbits = jnp.where(
+                widx4 < mw[:, None], 32,
+                jnp.where(widx4 == mw[:, None],
+                          (ffr & 31).astype(i32)[:, None], 0)
+            ).astype(jnp.uint32)
+            bmask = jnp.where(
+                nbits >= 32, jnp.uint32(0xFFFFFFFF),
+                (jnp.uint32(1) << jnp.minimum(nbits, 31)) - jnp.uint32(1))
+            below = jax.lax.population_count(wall & bmask).sum(
+                axis=-1).astype(i32)
+
+            at_prim = in_fr & (ffr == fm.primary)
+            fr_done = in_fr & marked & ~at_prim
+            fr_step = in_fr & ~marked & ~at_prim
+            new_ffr = jnp.where(fr_step, lf.astype(rdt), new_ffr)
+            new_ffa = jnp.where(fr_step, fset(ffa, F_STEP, 10, steps_v + 1),
+                                new_ffa)
+            new_ffa = jnp.where(fr_done, fset(ffa, F_AUX, 9, below), new_ffa)
+            new_phase_ff = jnp.where(fr_done, PH_FCT, new_phase_ff)
+            # primary rank: SA = 0, so position = steps directly
+            new_ffpos = jnp.where(at_prim, steps_v.astype(rdt), new_ffpos)
+            new_phase_ff = jnp.where(at_prim, PH_FCM, new_phase_ff)
+
+            # ---- ISA walk-down (PH_FIW) ----
+            fiw_apply = in_fiw & (steps_v <= 1)
+            fiw_step = in_fiw & ~fiw_apply
+            new_ffr = jnp.where(in_fiw, lf.astype(rdt), new_ffr)
+            new_ffa = jnp.where(fiw_step, fset(ffa, F_STEP, 10, steps_v - 1),
+                                new_ffa)
+            apply_bwd = apply_bwd | fiw_apply
+            kland = jnp.where(fiw_apply, lf.astype(rdt), kland)
+
+            if heavy:
+                # ---- value decodes (PH_FCT / PH_FSM / PH_FIA) ----
+                sub16 = rowsA.reshape((nB, 8, 16))
+
+                def val_pick(widx):  # word widx (0..127) of the row
+                    s1 = dense.pick(
+                        sub16,
+                        jnp.broadcast_to((widx >> 4).astype(i32)[:, None],
+                                         (nB, 16)), axis=-2)
+                    return dense.pick(s1, (widx & 15).astype(i32), axis=-1)
+
+                widx_cnt = (rb7 & 127).astype(i32)
+                vsel = jnp.where(in_fsm, ffr, aidx)
+                if pair:
+                    w0 = (2 * (vsel & 63)).astype(i32)
+                    s1 = dense.pick(
+                        sub16,
+                        jnp.broadcast_to((w0 >> 4)[:, None], (nB, 16)),
+                        axis=-2)
+                    lo = dense.pick(s1, w0 & 15, axis=-1)
+                    hi = dense.pick(s1, (w0 & 15) + 1, axis=-1)
+                    rankv = ((lo.astype(rdt) & 0xFFFFFFFF)
+                             + (hi.astype(rdt) << 32))
+                else:
+                    rankv = val_pick((vsel & 127).astype(i32)).astype(rdt)
+                cntv = val_pick(widx_cnt)
+                rmaj = kfm._small_rows(
+                    fm.sa_majors,
+                    jnp.clip((rb7 >> kfm._LOG2_MAJOR).astype(i32), 0,
+                             fm.sa_majors.shape[0] - 1))
+                slot_new = (cntv.astype(rdt) + rmaj
+                            + fget(ffa, F_AUX, 9).astype(rdt))
+                # FCT: slot computed -> fetch the sample next
+                new_ffr = jnp.where(in_fct, slot_new, new_ffr)
+                new_phase_ff = jnp.where(in_fct, PH_FSM, new_phase_ff)
+                # FSM: position = sample + steps -> compare next. The
+                # aux field (below-count during the walk) becomes the
+                # first-ambiguity tracker: reset its sentinel.
+                new_ffpos = jnp.where(in_fsm,
+                                      rankv + steps_v.astype(rdt), new_ffpos)
+                new_ffa = jnp.where(in_fsm, fset(ffa, F_AUX, 9,
+                                                 jnp.full(nB, 511, i32)),
+                                    new_ffa)
+                new_phase_ff = jnp.where(in_fsm, PH_FCM, new_phase_ff)
+                # FIA: anchor rank fetched; walk down (anchor - pt) steps
+                ok_a = in_fia & (anchor <= fm.seq_len)
+                down0 = jnp.where(in_fia, (anchor - ptv).astype(i32), 0)
+                fia_apply = ok_a & (down0 == 0)
+                fia_walk = ok_a & (down0 > 0)
+                fia_abort = in_fia & ~ok_a
+                ff_abort = ff_abort | fia_abort
+                new_ffr = jnp.where(fia_walk, rankv, new_ffr)
+                new_ffa = jnp.where(fia_walk, fset(ffa, F_STEP, 10, down0),
+                                    new_ffa)
+                new_phase_ff = jnp.where(fia_walk, PH_FIW, new_phase_ff)
+                new_phase_ff = jnp.where(fia_abort, PH_BWD, new_phase_ff)
+                apply_bwd = apply_bwd | fia_apply
+                kland = jnp.where(fia_apply, rankv, kland)
+
+                # ---- packed-text compare (PH_FCM) ----
+                unit16 = dense.pick(
+                    sub16,
+                    jnp.broadcast_to(((tcur_c >> 8) & 7).astype(i32)[:, None],
+                                     (nB, 16)), axis=-2)      # (nB, 16)
+                u32 = jax.lax.bitcast_convert_type(unit16, jnp.uint32)
+                rev32 = _rev2(u32)[:, ::-1]
+                tw_i = jax.lax.bitcast_convert_type(
+                    jnp.where(is_bo[:, None], rev32, u32), jnp.int32)
+                start_in = jnp.where(
+                    is_bo, 255 - (tcur_c & 255), tcur_c & 255).astype(i32)
+                NWC = 5  # 64-base compare window + shift overrun
+                tww = _funnel(tw_i, start_in >> 4, start_in & 15, NWC)
+                ipf = (i + fft_v).astype(i32)
+                ipb = (W - 1 - i + fft_v).astype(i32)
+                ip = jnp.where(is_bo, ipb, ipf)
+                rcw = jnp.where(is_bo[:, None], st["rpk"], st["cpk"])
+                raw = jnp.where(is_bo[:, None], st["rapk"], st["apk"])
+                rww = _funnel(rcw, ip >> 4, ip & 15, NWC)
+                aww = _funnel(raw, ip >> 4, ip & 15, NWC, fill=-1)
+                is_r3o = orig2 == 3
+                s0 = is_r3o & (st["ik"][:, 2] <= 0)
+                tau_stop = (x + min_seed_len - i).astype(i32)
+                cap_unit = 256 - start_in
+                cap_r3 = jnp.where(is_r3o, tau_stop + 1 - fft_v,
+                                   jnp.int32(1 << 20))
+                cmp_len = jnp.clip(jnp.minimum(cap_unit, cap_r3), 0, 64)
+                cap_txt = jnp.where(
+                    is_bo, (tcur + 1).astype(i32),
+                    jnp.clip(fm.seq_len - tcur, 0, 1 << 20).astype(i32))
+                odd = jnp.uint32(0x55555555)
+                xw = tww ^ rww
+                y_txt = jnp.where(s0[:, None], jnp.uint32(0),
+                                  (xw | (xw >> jnp.uint32(1))) & odd)
+                y_amb = (aww | (aww >> jnp.uint32(1))) & odd
+                t_txt = jnp.minimum(_first_group(y_txt, cmp_len),
+                                    jnp.maximum(cap_txt, 0))
+                t_amb = _first_group(y_amb, cmp_len)
+                t_run = jnp.minimum(t_txt, t_amb)
+                # r3 bookkeeping: first read-ambiguity offset + text dirt
+                firstamb_o = fget(ffa, F_AUX, 9)
+                firstamb_n = jnp.where(
+                    in_fcm & (t_amb < cmp_len),
+                    jnp.minimum(firstamb_o, fft_v + t_amb), firstamb_o)
+                dirty_o = fget(ffa, F_DIRTY, 1)
+                dirty_n = dirty_o | (in_fcm & is_r3o & (t_txt < cmp_len)
+                                     & (fft_v + t_txt <= tau_stop)).astype(i32)
+                fin_r3 = in_fcm & is_r3o & (
+                    (firstamb_n <= tau_stop) | (fft_v + cmp_len > tau_stop))
+                cont_fb = (~is_r3o) & (t_run == cmp_len) & (cmp_len > 0)
+                cont = in_fcm & (jnp.where(is_r3o, ~fin_r3, cont_fb))
+                total = fft_v + t_run
+                newfft = jnp.where(is_r3o, fft_v + cmp_len, total)
+                upd = fset(fset(fset(ffa, F_FFT, 9, newfft),
+                                F_AUX, 9, firstamb_n),
+                           F_DIRTY, 1, dirty_n)
+                new_ffa = jnp.where(in_fcm, upd, new_ffa)
+                # verdicts
+                ffD_fwd = in_fcm & (orig2 == 1) & ~cont
+                total_f = jnp.where(ffD_fwd, total, 0)
+                d_bwd = in_fcm & (orig2 == 2) & ~cont
+                bwd_go = d_bwd & (total > 0)
+                # abort (t == 0): nothing learned beyond "the very next
+                # column fails", which the stepwise iteration re-derives
+                # (the cooldown flag stops immediate re-entry)
+                ff_abort = ff_abort | (d_bwd & ~bwd_go)
+                new_phase_ff = jnp.where(d_bwd & ~bwd_go, PH_BWD,
+                                         new_phase_ff)
+                new_phase_ff = jnp.where(bwd_go, PH_FIA, new_phase_ff)
+                ffD_r3 = fin_r3
+                r3_pre = firstamb_n <= tau_stop
+                r3_emit = ffD_r3 & ~r3_pre & (dirty_n == 0) & (
+                    st["ik"][:, 2] == 1)
+                x3_ff = jnp.where(
+                    r3_pre,
+                    jnp.where(i + firstamb_n >= L, L, i + firstamb_n + 1),
+                    i + tau_stop + 1)
+
+            st["ffr"], st["ffa"], st["ffpos"] = new_ffr, new_ffa, new_ffpos
+            st["phase"] = new_phase_ff
+            phase = new_phase_ff
+
         new = dict(st)
 
         # ============== PH_R3J: decode the prefix row ==============
         if jump:
             # fmd_extend_back returns row A as k4 - (L2+1) and
             # row B - row A as s4; 30-bit lo/hi words reassemble ranks
-            o1 = k4 - (fm.L2[:4] + 1)
-            k8 = o1[:, 0] + (o1[:, 1] << 30)
-            l8 = o1[:, 2] + (o1[:, 3] << 30)
+            o1j = k4 - (fm.L2[:4] + 1)
+            k8 = o1j[:, 0] + (o1j[:, 1] << 30)
+            l8 = o1j[:, 2] + (o1j[:, 3] << 30)
             s8 = s4[:, 0].astype(rdt) + (s4[:, 1].astype(rdt) << 30)
             new["ik"] = jnp.where(
                 in_r3j[:, None], jnp.stack([k8, l8, s8], axis=1), new["ik"]
@@ -710,11 +1170,18 @@ def collect_seeds_device(
         ik_row = jnp.stack(
             [st["ik"][:, 0], st["ik"][:, 2], st["ik_end"].astype(rdt)],
             axis=1)
+        # a finishing forward fast-forward completes the whole pass: its
+        # push row is (k, 1, i + matched) and it takes the fwd_done
+        # transition below — bit-equal to the stepwise mismatch step
+        ff_fwd_row = jnp.stack(
+            [st["ik"][:, 0], st["ik"][:, 2], (i + total_f).astype(rdt)],
+            axis=1)
         # push current ik when: end-of-read, ambiguous, or size change
         size_change = fwd_ext & (ok_s != st["ik"][:, 2])
-        push_fwd = fwd_end_of_read | fwd_amb | size_change
+        push_fwd = fwd_end_of_read | fwd_amb | size_change | ffD_fwd
         new["cand"], new["n_cand"], ovf1 = push_row(
-            new["cand"], new["n_cand"], ik_row, push_fwd
+            new["cand"], new["n_cand"],
+            jnp.where(ffD_fwd[:, None], ff_fwd_row, ik_row), push_fwd
         )
         new["overflow"] = st["overflow"] | ovf1
         drop_below = size_change & (ok_s < st["min_intv"])
@@ -724,7 +1191,7 @@ def collect_seeds_device(
         )
         new["ik_end"] = jnp.where(adv, i + 1, new["ik_end"])
         new["i"] = jnp.where(adv, i + 1, new["i"])
-        fwd_done = fwd_end_of_read | fwd_amb | drop_below
+        fwd_done = fwd_end_of_read | fwd_amb | drop_below | ffD_fwd
         # transition to backward pass: prev := cand, visited in reverse
         # (longest candidate first, bwt_reverse_intvs) via the rev1 flag
         new["prev"] = jnp.where(fwd_done[:, None, None], new["cand"], st["prev"])
@@ -762,9 +1229,9 @@ def collect_seeds_device(
         last_s_r = dense.pick_row(st["curr"][:, :, 1], lastq)
         last_start_r = st["last_start"]
         curr_buf = st["curr"]
-        emit_any = jnp.zeros(j.shape[0], jnp.bool_)
-        emit_row = jnp.zeros((j.shape[0], 4), rdt)
-        ovf_bwd = jnp.zeros(j.shape[0], jnp.bool_)
+        emit_any = jnp.zeros(nB, jnp.bool_)
+        emit_row = jnp.zeros((nB, 4), rdt)
+        ovf_bwd = jnp.zeros(nB, jnp.bool_)
         slot_l, row_l, push_l = [], [], []
         for t in range(KC):
             active_t = in_bwd & (t < n_proc)
@@ -815,8 +1282,27 @@ def collect_seeds_device(
                                  curr_buf)
         else:
             curr_buf = dense.put_row(curr_buf, slot_l[0], row_l[0], push_l[0])
+        # ============== PH_R3 (emit shares the mems push below) ==========
+        r3_end = in_r3 & (i >= L)
+        r3_amb = in_r3 & (i < L) & (qi >= 4)
+        r3_ext = in_r3 & (i < L) & (qi < 4)
+        hit = r3_ext & (ok_s < max_mem_intv) & ((i - x) >= min_seed_len)
+        emit3 = hit & (ok_s > 0)
+        mem3 = jnp.stack([ok_k, ok_s, x.astype(rdt),
+                          (i + 1).astype(rdt)], axis=1)
+        # an r3 fast-forward verdict emits (k, 1, x, x+min_seed_len+1):
+        # the stepwise scan stops at i = x + min_seed_len with s still 1
+        ff_r3_row = jnp.stack(
+            [st["ik"][:, 0], jnp.ones_like(st["ik"][:, 0]),
+             x.astype(rdt), (x + min_seed_len + 1).astype(rdt)], axis=1)
+        # ---- the one shared mems push (bwd emit | r3 emit | ff r3) ----
+        # the three sources are phase-exclusive per lane
+        push_any = emit_any | emit3 | r3_emit
+        push_val = jnp.where(
+            emit_any[:, None], emit_row,
+            jnp.where(r3_emit[:, None], ff_r3_row, mem3))
         new["mems"], new["n_mem"], ovf2 = push_row(
-            new["mems"], new["n_mem"], emit_row, emit_any
+            new["mems"], new["n_mem"], push_val, push_any
         )
         new["overflow"] = new["overflow"] | ovf2 | ovf_bwd
         new["last_start"] = jnp.where(in_bwd, last_start_r,
@@ -834,14 +1320,14 @@ def collect_seeds_device(
         row_done = in_bwd & ((nj >= st["n_prev"]) | dead)
         new["j"] = jnp.where(in_bwd, jnp.where(row_done, 0, nj), new["j"])
         bwd_finished = row_done & (new["n_curr"] == 0)
-        cont = row_done & ~bwd_finished
-        new["prev"] = jnp.where(cont[:, None, None], new["curr"], new["prev"])
-        new["n_prev"] = jnp.where(cont, new["n_curr"], new["n_prev"])
+        cont2 = row_done & ~bwd_finished
+        new["prev"] = jnp.where(cont2[:, None, None], new["curr"], new["prev"])
+        new["n_prev"] = jnp.where(cont2, new["n_curr"], new["n_prev"])
         # curr is already built longest-first: subsequent columns iterate
         # forward
-        new["rev1"] = jnp.where(cont, False, new["rev1"])
-        new["n_curr"] = jnp.where(cont, 0, new["n_curr"])
-        new["i"] = jnp.where(cont, bw_i - 1, new["i"])
+        new["rev1"] = jnp.where(cont2, False, new["rev1"])
+        new["n_curr"] = jnp.where(cont2, 0, new["n_curr"])
+        new["i"] = jnp.where(cont2, bw_i - 1, new["i"])
         # (when i reaches -1 the whole row fails with c < 0: curr stays
         # empty, so bwd_finished fires — no separate exit needed)
         new["phase"] = jnp.where(bwd_finished, PH_PIVOT, new["phase"])
@@ -851,18 +1337,26 @@ def collect_seeds_device(
             bwd_finished & (rnd == RD_RESEED), st["r2i"] + 1, new["r2i"]
         )
 
-        # ============== PH_R3 ==============
-        r3_end = in_r3 & (i >= L)
-        r3_amb = in_r3 & (i < L) & (qi >= 4)
-        r3_ext = in_r3 & (i < L) & (qi < 4)
-        hit = r3_ext & (ok_s < max_mem_intv) & ((i - x) >= min_seed_len)
-        emit3 = hit & (ok_s > 0)
-        mem3 = jnp.stack([ok_k, ok_s, x.astype(rdt),
-                          (i + 1).astype(rdt)], axis=1)
-        new["mems"], new["n_mem"], ovf4 = push_row(
-            new["mems"], new["n_mem"], mem3, emit3
-        )
-        new["overflow"] = new["overflow"] | ovf4
+        # ---- backward fast-forward landing ----
+        # prev[0] <- (landing k, 1, end); i -= matched; the next stepwise
+        # iteration fails the column and emits exactly (service-equal)
+        if ff:
+            p0e = st["prev"][:, 0, 2]
+            fft_now = fget(new["ffa"], F_FFT, 9)
+            prev0 = new["prev"][:, 0, :]
+            land_row = jnp.stack(
+                [kland, jnp.ones_like(kland), p0e], axis=1)
+            prev0 = jnp.where(apply_bwd[:, None], land_row, prev0)
+            new["prev"] = new["prev"].at[:, 0, :].set(prev0)
+            new["i"] = jnp.where(apply_bwd, i - fft_now, new["i"])
+            new["rev1"] = jnp.where(apply_bwd, False, new["rev1"])
+            new["phase"] = jnp.where(apply_bwd, PH_BWD, new["phase"])
+            # cooldown: set on aborts, cleared once the lane makes
+            # stepwise progress (a bwd column completes or a new
+            # backward pass starts)
+            new["ffcool"] = (st["ffcool"] | ff_abort) & ~row_done & ~fwd_done
+
+        # PH_R3 stepwise stop/advance
         r3_stop = r3_end | r3_amb | hit
         new["x"] = jnp.where(r3_stop & in_r3, jnp.where(r3_end, L, i + 1), new["x"])
         new["phase"] = jnp.where(r3_stop, PH_PIVOT, new["phase"])
@@ -871,167 +1365,12 @@ def collect_seeds_device(
             keep3[:, None], jnp.stack([ok_k, ok_l, ok_s], axis=1), new["ik"]
         )
         new["i"] = jnp.where(keep3, i + 1, new["i"])
+        # r3 fast-forward verdict: jump the scan cursor, back to pivoting
+        if ff:
+            new["x"] = jnp.where(ffD_r3, x3_ff, new["x"])
+            new["phase"] = jnp.where(ffD_r3, PH_PIVOT, new["phase"])
 
         return new
-
-    # ---- s==1 fast-forward service (see docstring) ----
-    ff_on = (pac_rows is not None and isa is not None and serve_every > 0
-             and shard_axis is None and max_mem_intv > 1)
-
-    def service(st):
-        """Batched fast-forward of every lane currently in an s==1 state
-        (exact-equivalent state jump; see the collect_seeds_device
-        docstring). Runs between body chunks; lanes it misses simply
-        keep running stepwise until the next service.
-
-        The gather-heavy middle (rank resolve, packed-text window, ISA
-        walks — ~20 row-gathers per lane) runs COMPACTED to the eligible
-        lanes: eligibility is a sparse event (a few jumps per read), so
-        paying those gathers for every lane every service would cost
-        more than the skipped iterations save (measured: uncompacted
-        serve_every=16 returned only 38.5K vs 35.4K reads/s). Eligible
-        lanes beyond the compact capacity simply wait for a later
-        service (exactness is cadence-independent)."""
-        from bioseqdb_tpu.kernels.extend import window_doubled
-
-        st = dict(st)
-        phase, x, i, L = st["phase"], st["x"], st["i"], st["lens"]
-        Bc = phase.shape[0]
-        ik = st["ik"]
-        p0 = dense.pick_row(st["prev"], jnp.zeros(Bc, i32))
-        e_fwd = (phase == PH_FWD) & (ik[:, 2] == 1) & (i < L)
-        e_bwd = (
-            (phase == PH_BWD) & (st["n_prev"] == 1) & (st["j"] == 0)
-            & (p0[:, 1] == 1) & (st["min_intv"] == 1) & (i >= 0)
-        )
-        # r3 covers s <= 1: at s == 1 the scan outcome is the packed-text
-        # comparison; at s == 0 (dead scan — every occurrence already
-        # mismatched) the scan just burns steps to the fixed stop with no
-        # emit possible, so only the ambiguity/end preemption matters.
-        e_r3 = ((phase == PH_R3) & (ik[:, 2] <= 1) & (i < L)
-                & (x + min_seed_len - i >= 0))
-        any_e = e_fwd | e_bwd | e_r3
-
-        # ---- compact eligible lanes to K slots ----
-        # eligible fraction measures ~10-25% at serve_every=8..16; K/8
-        # with a 512 floor covers it, spill waits for the next service
-        K = Bc if Bc <= 512 else max(512, Bc // 8)
-        if K >= Bc:
-            lane_of = jnp.arange(Bc, dtype=i32)
-        else:
-            cum = jnp.cumsum(any_e.astype(i32))
-            slot = jnp.where(any_e & (cum <= K), cum - 1, K)
-            lane_of = jnp.full(K + 1, -1, i32).at[slot].set(
-                jnp.arange(Bc, dtype=i32), mode="drop")[:K]
-        safe = jnp.clip(lane_of, 0, Bc - 1)
-        hasK = lane_of >= 0
-        fK = e_fwd[safe] & hasK
-        bK = e_bwd[safe] & hasK
-        rK = e_r3[safe] & hasK
-        anyK = fK | bK | rK
-        iK, xK, LK = i[safe], x[safe], L[safe]
-        ikK = ik[safe]
-
-        # the unique occurrence's start position (of pattern [x, i) for
-        # fwd/r3; of the candidate pattern [i+1, end) for bwd)
-        rank = jnp.where(bK, p0[safe, 0], ikK[:, 0])
-        rank = jnp.where(anyK, rank, 1)
-        pos = kfm.sa_resolve(fm, rank, sa_interval)
-
-        # one packed-text window per lane: forward lanes read the text
-        # right of the pattern end, backward lanes the W bases left of
-        # the occurrence (reversed). Out-of-range reads 4 == mismatch,
-        # which matches stepwise semantics (extending past the text or
-        # onto an ambiguous base kills the interval).
-        d = (iK - xK).astype(pos.dtype)
-        start = jnp.where(bK, pos - W, pos + d)
-        win = window_doubled(pac_rows, fm.seq_len,
-                             jnp.where(anyK, start, 0), W)
-        codesK = st["codes"][safe]
-        rw_f = dense.shift_left(codesK, jnp.clip(iK, 0, W), W, fill=4)
-        rw_b = dense.shift_left(codesK[:, ::-1],
-                                jnp.clip(W - 1 - iK, 0, W), W, fill=4)
-        rd = jnp.where(bK[:, None], rw_b, rw_f)
-        pc = jnp.where(bK[:, None], win[:, ::-1], win)
-        mm = (rd == pc) & (rd < 4) & (pc < 4)
-        tK = jnp.where(jnp.any(~mm, axis=1),
-                       jnp.argmax(~mm, axis=1).astype(i32), W)
-
-        # landing l for fwd jumps (rank of the reverse-complement suffix
-        # of the jumped pattern — see docstring) and landing k for bwd
-        # jumps — ONE fused ISA walk (per-op dispatch floors dominate the
-        # service cost at compact widths, so every op counts)
-        rcpos = fm.seq_len - pos - (iK + tK - xK).astype(pos.dtype)
-        posw = jnp.concatenate([rcpos, pos - tK.astype(pos.dtype)])
-        dow = jnp.concatenate([fK & (tK > 0), bK & (tK > 0)])
-        landw, okw = kfm.isa_walk(fm, isa, posw, sa_interval, dow)
-        Kc = rcpos.shape[0]
-        llandK, okfK = landw[:Kc], okw[:Kc]
-        klandK, okbK = landw[Kc:], okw[Kc:]
-
-        # r3 verdict: the scan stops at the first consumed position
-        # >= x + min_seed_len (s <= 1 < max_mem_intv), unless an
-        # ambiguous base / end-of-read preempts it.
-        tau_stop = (xK + min_seed_len - iK).astype(i32)
-        bad = rw_f >= 4
-        tau_bad = jnp.where(jnp.any(bad, axis=1),
-                            jnp.argmax(bad, axis=1).astype(i32), W)
-        pre = tau_bad <= tau_stop
-        span = jnp.arange(W, dtype=i32)[None, :] > tau_stop[:, None]
-        clean = jnp.all(mm | span, axis=1)
-        is_end = (iK + tau_bad) >= LK
-        x3K = jnp.where(pre, jnp.where(is_end, LK, iK + tau_bad + 1),
-                        iK + tau_stop + 1)
-        emit3K = rK & (ikK[:, 2] == 1) & ~pre & clean
-
-        # ---- scatter verdicts back (3 packed scatters); apply wide ----
-        tgt = jnp.where(lane_of >= 0, lane_of, Bc)
-
-        def scat2(vK, dt):
-            return jnp.zeros((Bc + 1, vK.shape[1]), dt).at[tgt].set(
-                vK, mode="drop")[:Bc]
-
-        flagsK = ((fK & (tK > 0) & okfK).astype(i32)
-                  | ((bK & (tK > 0) & okbK).astype(i32) << 1)
-                  | (rK.astype(i32) << 2)
-                  | (emit3K.astype(i32) << 3))
-        ints = scat2(jnp.stack([tK, x3K, flagsK], axis=1), i32)
-        lands = scat2(jnp.stack([llandK, klandK], axis=1), rdt)
-        t, x3, flags = ints[:, 0], ints[:, 1], ints[:, 2]
-        lland, kland = lands[:, 0], lands[:, 1]
-        do_f = (flags & 1) > 0
-        do_b = (flags & 2) > 0
-        svc_r3 = (flags & 4) > 0
-        emit3 = (flags & 8) > 0
-
-        # PH_FWD jump: k invariant while s == 1; the next stepwise
-        # iteration performs the mismatch/end-of-read step exactly.
-        st["i"] = jnp.where(do_f, i + t, st["i"])
-        st["ik_end"] = jnp.where(do_f, i + t, st["ik_end"])
-        st["ik"] = jnp.where(
-            do_f[:, None],
-            jnp.stack([ik[:, 0], lland, ik[:, 2]], axis=1),
-            st["ik"])
-
-        # PH_BWD jump: the next stepwise iteration fails the column and
-        # emits exactly.
-        st["i"] = jnp.where(do_b, i - t, st["i"])
-        row_b = jnp.stack(
-            [kland, jnp.ones_like(kland), p0[:, 2]], axis=1)
-        st["prev"] = dense.put_row(st["prev"], jnp.zeros(Bc, i32), row_b,
-                                   do_b)
-        st["rev1"] = jnp.where(do_b, False, st["rev1"])
-
-        # PH_R3 stop/emit
-        row3 = jnp.stack(
-            [ik[:, 0], jnp.ones_like(ik[:, 0]),
-             x.astype(rdt), (x + min_seed_len + 1).astype(rdt)], axis=1)
-        st["mems"], st["n_mem"], ovf3 = push_row(
-            st["mems"], st["n_mem"], row3, emit3)
-        st["overflow"] = st["overflow"] | ovf3
-        st["x"] = jnp.where(svc_r3, x3, st["x"])
-        st["phase"] = jnp.where(svc_r3, PH_PIVOT, st["phase"])
-        return st
 
     def run_compacting(st, sizes):
         """Run the state machine with progressive straggler compaction:
@@ -1044,24 +1383,22 @@ def collect_seeds_device(
         from bioseqdb_tpu.kernels.loops import LOOP_UNROLL
 
         U = max(1, min(LOOP_UNROLL, 32))
-        # the service's fixed per-op dispatch cost (~0.3 ms) outweighs
-        # 16+ iterations at narrow tail widths (and tail lanes are the
-        # repeat-heavy, rarely fast-forwardable ones): run it only at
-        # wide levels
-        svc = ff_on and st["phase"].shape[0] >= min(B, max(2048, B // 8))
-        chunk = max(U, (serve_every // U) * U) if svc else 32
+        chunk = 32
 
         def bodyU(_, s):
             # U state-machine steps per loop iteration: each while/fori
             # iteration boundary costs ~40 us regardless of the body
-            # (see loops.chunked_while)
-            for _ in range(U):
-                s = body(s)
+            # (see loops.chunked_while). Heavy fast-forward phases run
+            # on every SECOND step: their vector cost halves while a
+            # waiting lane stalls at most one step per heavy phase.
+            for u in range(U):
+                hv = {"half": u % 2 == 0, "never": False,
+                      "always": True}[FF_HEAVY]
+                s = body(s, heavy=hv)
             return s
 
         def chunkf(s):
-            s = jax.lax.fori_loop(0, chunk // U, bodyU, s)
-            return service(s) if svc else s
+            return jax.lax.fori_loop(0, chunk // U, bodyU, s)
 
         def run_chunks(s, live_gt: int):
             return jax.lax.while_loop(
@@ -1099,13 +1436,9 @@ def collect_seeds_device(
     out = dict(mems=mems5, n_mem=st["n_mem"], overflow=st["overflow"],
                iters=st["iters"], it_r1=st["it_r1"], it_r2=st["it_r2"])
     if DEBUG_CENSUS:
-        out["ph_census"] = st["ph_census"]
-        out["bwd_dead"] = st["bwd_dead"]
-        out["same_quad"] = st["same_quad"]
-        out["same_oct"] = st["same_oct"]
-        out["same_wrow"] = st["same_wrow"]
-        out["ext_n"] = st["ext_n"]
-        out["bwd_np1"] = st["bwd_np1"]
-        out["bwd_cols"] = st["bwd_cols"]
-        out["bwd_cov"] = st["bwd_cov"]
+        for k in ("ph_census", "bwd_dead", "bwd_np1", "bwd_cols"):
+            out[k] = st[k]
+        if ff:
+            out["ff_events"] = st["ff_events"]
+            out["ff_skip"] = st["ff_skip"]
     return out

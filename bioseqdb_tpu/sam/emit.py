@@ -52,15 +52,42 @@ def hit_flag(hit: Hit) -> int:
     return flag
 
 
+def rg_id(read_group: str | None) -> str | None:
+    """The ID field of an ``@RG`` header line (bwa mem -R): the value
+    every record's RG:Z tag carries."""
+    if not read_group:
+        return None
+    for fld in read_group.replace("\\t", "\t").split("\t"):
+        if fld.startswith("ID:"):
+            return fld[3:]
+    return None
+
+
+def _tail_tags(hit: Hit, rg: str | None) -> list[str]:
+    """Optional tags in bwa's mem_aln2sam order: NM, MD, AS, XS, RG, XA
+    (reference behavior source: mem_reg2aln consumed at bwa.cpp:158)."""
+    fields = [f"NM:i:{getattr(hit, 'nm', 0)}"]
+    if getattr(hit, "md", ""):
+        fields.append(f"MD:Z:{hit.md}")
+    fields.append(f"AS:i:{hit.score}")
+    if getattr(hit, "sub", -1) >= 0:
+        fields.append(f"XS:i:{hit.sub}")
+    if rg:
+        fields.append(f"RG:Z:{rg}")
+    if getattr(hit, "xa", ""):
+        fields.append(f"XA:Z:{hit.xa}")
+    return fields
+
+
 def sam_record(result: ReadResult, hit: Hit | None, seq: str,
-               qual: str | None = None) -> str:
+               qual: str | None = None, rg: str | None = None) -> str:
     """One SAM line. ``hit=None`` emits the unmapped record."""
     qual = qual or "*"
     if hit is None:
         return "\t".join([
             result.query_name, str(FLAG_UNMAPPED), "*", "0", "0", "*",
             "*", "0", "0", seq, qual,
-        ])
+        ] + ([f"RG:Z:{rg}"] if rg else []))
     flag = hit_flag(hit)
     out_seq = revcomp(seq) if hit.is_reverse else seq
     out_qual = qual if qual == "*" else (qual[::-1] if hit.is_reverse else qual)
@@ -76,21 +103,17 @@ def sam_record(result: ReadResult, hit: Hit | None, seq: str,
         "*", "0", "0",
         out_seq,
         out_qual,
-        f"NM:i:{getattr(hit, 'nm', 0)}",
-    ]
-    # bwa mem_aln2sam tag order: NM, MD, AS, XS, (RG,) XA
-    if getattr(hit, "md", ""):
-        fields.append(f"MD:Z:{hit.md}")
-    fields.append(f"AS:i:{hit.score}")
-    if getattr(hit, "sub", -1) >= 0:
-        fields.append(f"XS:i:{hit.sub}")
-    if getattr(hit, "xa", ""):
-        fields.append(f"XA:Z:{hit.xa}")
+    ] + _tail_tags(hit, rg)
     return "\t".join(fields)
 
 
-def sam_record_pe(result: ReadResult, seq: str, qual: str | None = None) -> str:
-    """One SAM line for a paired end (result.pe carries mate info)."""
+def sam_record_pe(result: ReadResult, seq: str, qual: str | None = None,
+                  rg: str | None = None) -> str:
+    """One SAM line for a paired end (result.pe carries mate info).
+
+    Carries the same optional-tag set as the single-end record — bwa
+    emits NM/MD/AS/XS (and RG/XA) on paired records too (mem_reg2aln
+    consumed at bwa.cpp:158; VERDICT r2 item 5)."""
     pe = result.pe
     qual = qual or "*"
     hit = result.primary
@@ -101,7 +124,7 @@ def sam_record_pe(result: ReadResult, seq: str, qual: str | None = None) -> str:
         return "\t".join([
             result.query_name, str(flag), "*", "0", "0", "*",
             rnext, str(pnext), "0", seq, qual,
-        ])
+        ] + ([f"RG:Z:{rg}"] if rg else []))
     flag = hit_flag(hit) | (pe.flag_extra if pe else 0)
     out_seq = revcomp(seq) if hit.is_reverse else seq
     out_qual = qual if qual == "*" else (qual[::-1] if hit.is_reverse else qual)
@@ -117,49 +140,54 @@ def sam_record_pe(result: ReadResult, seq: str, qual: str | None = None) -> str:
         str(pe.tlen) if pe else "0",
         out_seq,
         out_qual,
-        f"NM:i:{hit.nm}",
-        f"AS:i:{hit.score}",
-    ] + ([f"XS:i:{hit.sub}"] if hit.sub >= 0 else []))
+    ] + _tail_tags(hit, rg))
 
 
 def emit_sam_pairs(pair_results, index: FMIndex, seqs1, seqs2,
                    quals1=None, quals2=None, header: bool = True,
-                   program_args: str = "") -> str:
+                   program_args: str = "",
+                   read_group: str | None = None) -> str:
     """Render paired results ((res1, res2) per template) to SAM text."""
-    out = [sam_header(index, program_args)] if header else []
+    out = [sam_header(index, program_args, read_group)] if header else []
+    rg = rg_id(read_group)
     for i, (r1, r2) in enumerate(pair_results):
         q1 = quals1[i] if quals1 else None
         q2 = quals2[i] if quals2 else None
-        out.append(sam_record_pe(r1, seqs1[i], q1) + "\n")
-        out.append(sam_record_pe(r2, seqs2[i], q2) + "\n")
+        out.append(sam_record_pe(r1, seqs1[i], q1, rg) + "\n")
+        out.append(sam_record_pe(r2, seqs2[i], q2, rg) + "\n")
     return "".join(out)
 
 
 def emit_sam(results: Iterable[ReadResult], index: FMIndex, seqs: list[str],
              quals: list[str] | None = None, header: bool = True,
-             program_args: str = "") -> str:
+             program_args: str = "",
+             read_group: str | None = None) -> str:
     """Render results to SAM text. ``seqs[i]`` is read i's original text."""
-    out = [sam_header(index, program_args)] if header else []
+    out = [sam_header(index, program_args, read_group)] if header else []
+    rg = rg_id(read_group)
     for i, res in enumerate(results):
         q = quals[i] if quals else None
         if not res.hits:
-            out.append(sam_record(res, None, seqs[i], q) + "\n")
+            out.append(sam_record(res, None, seqs[i], q, rg) + "\n")
             continue
         for hit in res.hits:
-            out.append(sam_record(res, hit, seqs[i], q) + "\n")
+            out.append(sam_record(res, hit, seqs[i], q, rg) + "\n")
     return "".join(out)
 
 
 def emit_sam_pair_columns(cols1, cols2, index: FMIndex, batch1, batch2,
                           header: bool = True, program_args: str = "",
                           seqs1: list[str] | None = None,
-                          seqs2: list[str] | None = None) -> str:
+                          seqs2: list[str] | None = None,
+                          read_group: str | None = None) -> str:
     """Render a columnar PE batch (align/paired.py
     finalize_pairs_columns) to interleaved SAM text — the PE counterpart
     of emit_sam_columns. Fast rows render straight from the columns;
     rows with full per-pair results (cols.extra) go through
     sam_record_pe."""
-    out = [sam_header(index, program_args)] if header else []
+    out = [sam_header(index, program_args, read_group)] if header else []
+    rg = rg_id(read_group)
+    rgt = f"\tRG:Z:{rg}" if rg else ""
     ref_names = index.ref_names
     ends = (
         (cols1, batch1, seqs1),
@@ -190,7 +218,7 @@ def emit_sam_pair_columns(cols1, cols2, index: FMIndex, batch1, batch2,
                        bytes(p["codes"][i, : p["lens"][i]])
                        .translate(_FWD_TR).decode())
                 q = p["quals"][i] if p["quals"] else None
-                out.append(sam_record_pe(res, seq, q) + "\n")
+                out.append(sam_record_pe(res, seq, q, rg) + "\n")
                 continue
             q = p["quals"][i] if p["quals"] else "*"
             flag = int(p["pe_flag"][i]) | (16 if p["is_rev"][i] else 0)
@@ -209,12 +237,16 @@ def emit_sam_pair_columns(cols1, cols2, index: FMIndex, batch1, batch2,
             pnext = p["pnext"][i] + 1 if rr != -1 else 0
             o = p["toff"][i]
             cig = p["blob"][o : o + p["cig_len"][i]].tobytes().decode("ascii")
+            md = p["blob"][o + p["cig_len"][i]
+                           : o + p["cig_len"][i] + p["md_len"][i]
+                           ].tobytes().decode("ascii")
             xs = f"\tXS:i:{p['sub'][i]}" if p["sub"][i] >= 0 else ""
             out.append(
                 f"{p['names'][i]}\t{flag}\t{ref_names[p['rid'][i]]}"
                 f"\t{p['pos'][i] + 1}\t{p['mapq'][i]}\t{cig}\t{rnext}"
                 f"\t{pnext}\t{p['tlen'][i]}\t{seq}\t{q}"
-                f"\tNM:i:{p['nm'][i]}\tAS:i:{p['score'][i]}{xs}\n"
+                f"\tNM:i:{p['nm'][i]}\tMD:Z:{md}\tAS:i:{p['score'][i]}"
+                f"{xs}{rgt}\n"
             )
     return "".join(out)
 
@@ -226,8 +258,8 @@ _REV_TR = bytes.maketrans(bytes(range(5)), b"TGCAN")
 
 
 def emit_sam_columns(cols, index: FMIndex, batch, header: bool = True,
-                     program_args: str = "", seqs: list[str] | None = None
-                     ) -> str:
+                     program_args: str = "", seqs: list[str] | None = None,
+                     read_group: str | None = None) -> str:
     """Render an AlignColumns batch to SAM text.
 
     The throughput-path emitter: one primary line per fast row straight
@@ -239,7 +271,9 @@ def emit_sam_columns(cols, index: FMIndex, batch, header: bool = True,
     exotic IUPAC letters survive in the SEQ field instead of decoding
     to N from the 2-bit-plus-ambiguity codes.
     """
-    out = [sam_header(index, program_args)] if header else []
+    out = [sam_header(index, program_args, read_group)] if header else []
+    rg = rg_id(read_group)
+    rgt = f"\tRG:Z:{rg}" if rg else ""
     names = batch.names
     quals = batch.qualities
     codes = batch.codes
@@ -265,16 +299,16 @@ def emit_sam_columns(cols, index: FMIndex, batch, header: bool = True,
                    else bytes(codes[i, : lens[i]]).translate(_FWD_TR).decode())
             q = quals[i] if quals else None
             if not res.hits:
-                out.append(sam_record(res, None, seq, q) + "\n")
+                out.append(sam_record(res, None, seq, q, rg) + "\n")
             else:
                 for hit in res.hits:
-                    out.append(sam_record(res, hit, seq, q) + "\n")
+                    out.append(sam_record(res, hit, seq, q, rg) + "\n")
             continue
         q = quals[i] if quals else "*"
         if not mapped[i]:
             seq = (seqs[i] if seqs is not None
                    else bytes(codes[i, : lens[i]]).translate(_FWD_TR).decode())
-            out.append(f"{name}\t4\t*\t0\t0\t*\t*\t0\t0\t{seq}\t{q}\n")
+            out.append(f"{name}\t4\t*\t0\t0\t*\t*\t0\t0\t{seq}\t{q}{rgt}\n")
             continue
         if is_rev[i]:
             seq = (revcomp(seqs[i]) if seqs is not None else
@@ -293,6 +327,6 @@ def emit_sam_columns(cols, index: FMIndex, batch, header: bool = True,
             f"{name}\t{flag}\t{ref_names[rid[i]]}\t{pos[i] + 1}\t{mapq[i]}"
             f"\t{cig}\t*\t0\t0\t{seq}\t{q}\tNM:i:{nm[i]}\tMD:Z:{md}"
             f"\tAS:i:{score[i]}"
-            + (f"\tXS:i:{sub[i]}" if sub[i] >= 0 else "") + "\n"
+            + (f"\tXS:i:{sub[i]}" if sub[i] >= 0 else "") + rgt + "\n"
         )
     return "".join(out)

@@ -201,6 +201,7 @@ def test_r3_jump_host_splice_matches_device_concat(setup):
     dev, b_dev, d_dev = build_r3_jump(fm, depth=6)
     host, b_h, d_h = build_r3_jump(fm, depth=6,
                                    host_blocks=np.asarray(idx.blocks),
+                                   host_sa_bits=np.asarray(idx.sa_bits),
                                    host_splice_threshold=0)
     assert (b_dev, d_dev) == (b_h, d_h) and b_dev > 0
     assert np.array_equal(np.asarray(dev.blocks), np.asarray(host.blocks))

@@ -1,8 +1,8 @@
-"""The s==1 fast-forward service must be exactly result-equivalent to
-stepwise device seeding (kernels/seed.py service): same mems on columns
-(k, s, start, end) — the l column is dead downstream (chain.resolve_seeds
-reads columns 0/2/3/4 only) and fast-forwarded rows carry l = 0 — same
-n_mem, same overflow; only iteration counts may differ."""
+"""The in-loop s==1 fast-forward must be exactly result-equivalent to
+stepwise device seeding (kernels/seed.py, SeedTable phases): same mems
+on columns (k, s, start, end) — the l column is dead downstream
+(chain.resolve_seeds reads columns 0/2/3/4 only) — same n_mem, same
+overflow; only iteration counts may differ."""
 
 import numpy as np
 import pytest
@@ -12,22 +12,18 @@ import jax.numpy as jnp
 from bioseqdb_tpu.align.options import AlignOptions
 from bioseqdb_tpu.index.builder import build_index
 from bioseqdb_tpu.kernels import fm as kfm
-from bioseqdb_tpu.kernels.extend import pack_doubled_rows
-from bioseqdb_tpu.kernels.seed import build_r3_jump, collect_seeds_device
+from bioseqdb_tpu.kernels.seed import build_seed_table, collect_seeds_device
 from bioseqdb_tpu.io.batch import pack_reads
 from bioseqdb_tpu.utils.sim import simulate_genome, simulate_reads
 
 
 def run_pair(genome_n, B, sub_rate, seed, read_len=150, with_ns=False,
-             serve_every=16, jump=True):
+             jump=True, sa_interval=None, rank_dtype=None):
     g = simulate_genome(genome_n, seed=seed)
-    idx = build_index([("r", g)])
-    fm = kfm.FMDevice.from_host(idx)
-    jb = jd = 0
-    if jump:
-        fm, jb, jd = build_r3_jump(fm)
-    pac = jnp.asarray(pack_doubled_rows(np.asarray(idx.pac)))
-    isa = jnp.asarray(idx.isa_sample_array(), fm.rank_dtype)
+    idx = build_index([("r", g)], sa_interval=sa_interval)
+    fm = kfm.FMDevice.from_host(idx, rank_dtype=rank_dtype)
+    fm, table = build_seed_table(fm, idx, depth=None if jump else 0)
+    assert table.ff
     opt = AlignOptions()
     sim = simulate_reads(g, B, read_len=read_len, sub_rate=sub_rate,
                          seed=seed + 1)
@@ -44,10 +40,10 @@ def run_pair(genome_n, B, sub_rate, seed, read_len=150, with_ns=False,
     sl = int(opt.min_seed_len * opt.reseed_factor + 0.499)
     kw = dict(min_seed_len=opt.min_seed_len, split_len=sl,
               split_width=opt.split_width, max_mem_intv=opt.max_mem_intv,
-              jump_base=jb, jump_depth=jd, sa_interval=idx.sa_interval)
+              jump_base=table.jump_base, jump_depth=table.jump_depth,
+              sa_interval=idx.sa_interval)
     ref = collect_seeds_device(fm, codes, lens, **kw)
-    got = collect_seeds_device(fm, codes, lens, pac_rows=pac, isa=isa,
-                               serve_every=serve_every, **kw)
+    got = collect_seeds_device(fm, codes, lens, table=table, **kw)
     return ({k: np.asarray(v) for k, v in ref.items()},
             {k: np.asarray(v) for k, v in got.items()})
 
@@ -64,9 +60,8 @@ def assert_equal(ref, got):
                            got["mems"][bad[0][0]])
 
 
-@pytest.mark.parametrize("serve_every", [8, 32])
-def test_ff_equal_mutated(serve_every):
-    ref, got = run_pair(150_000, 96, 0.02, seed=5, serve_every=serve_every)
+def test_ff_equal_mutated():
+    ref, got = run_pair(150_000, 96, 0.02, seed=5)
     assert_equal(ref, got)
     assert got["iters"].mean() < ref["iters"].mean()
 
@@ -90,6 +85,23 @@ def test_ff_equal_tiny_genome_short_reads():
     # tiny genome: s==1 reached at depth 1-2, heavy fast-forward traffic;
     # short reads stress the window/end-of-read edges
     ref, got = run_pair(3_000, 48, 0.05, seed=13, read_len=40)
+    assert_equal(ref, got)
+
+
+def test_ff_equal_sa_interval_32():
+    # bwa's sparse sampling: long resolve walks + ISA walk-downs
+    ref, got = run_pair(120_000, 64, 0.02, seed=17, sa_interval=32)
+    assert_equal(ref, got)
+
+
+def test_ff_equal_int64_pairs():
+    # forced int64 ranks on a small index: the lo/hi paired value
+    # regions (SeedTable.pair) must decode exactly
+    from jax import enable_x64
+
+    with enable_x64():
+        ref, got = run_pair(60_000, 48, 0.02, seed=19,
+                            rank_dtype=jnp.int64)
     assert_equal(ref, got)
 
 

@@ -33,7 +33,7 @@ def test_sharding_layout(setup):
     g, idx, mesh, fm, fms = setup
     assert fms.blocks.shape[0] == 4
     # octo device layout: 8 Occ blocks per 96-int32 row (kernels/fm.py)
-    assert fms.blocks.shape[2] == 96
+    assert fms.blocks.shape[2] == 128
     assert (fms.blocks.shape[0] * fms.blocks.shape[1] * 8
             >= idx.blocks.shape[0])
     # each device holds exactly one row-range shard of the table

@@ -16,7 +16,8 @@ def main():
     from bioseqdb_tpu.io.batch import pack_reads
     from bioseqdb_tpu.kernels import fm as kfm
     from bioseqdb_tpu.kernels import seed as kseed
-    from bioseqdb_tpu.kernels.seed import collect_seeds_device, build_r3_jump
+    from bioseqdb_tpu.kernels.seed import (build_r3_jump, build_seed_table,
+                                           collect_seeds_device)
     from bioseqdb_tpu.utils.sim import simulate_genome, simulate_reads
 
     kseed.DEBUG_CENSUS = True
@@ -26,7 +27,12 @@ def main():
     genome = simulate_genome(4_600_000, seed=1)
     idx = build_index([("ecoli", genome)])
     fm = kfm.FMDevice.from_host(idx)
-    fm, jb, jd = build_r3_jump(fm)
+    tbl = None
+    if os.environ.get("BST_ITER_FF") == "1":  # in-loop fast-forward census
+        fm, tbl = build_seed_table(fm, idx)
+        jb, jd = tbl.jump_base, tbl.jump_depth
+    else:
+        fm, jb, jd = build_r3_jump(fm)
     print("jump base/depth:", jb, jd)
     sim = simulate_reads(genome, B, read_len=150, sub_rate=0.01, seed=7)
     rb = pack_reads(sim.reads, sim.names)
@@ -36,7 +42,7 @@ def main():
     out = collect_seeds_device(
         fm, codes, lens, min_seed_len=opt.min_seed_len, split_len=split_len,
         split_width=opt.split_width, max_mem_intv=opt.max_mem_intv,
-        jump_base=jb, jump_depth=jd)
+        jump_base=jb, jump_depth=jd, sa_interval=idx.sa_interval, table=tbl)
     it = np.asarray(out["iters"])[: rb.n]
     r1 = np.asarray(out["it_r1"])[: rb.n]
     r2 = np.asarray(out["it_r2"])[: rb.n]
@@ -47,22 +53,21 @@ def main():
     print("n_mem mean", np.asarray(out["n_mem"])[: rb.n].mean(),
           "overflow", int(np.asarray(out["overflow"]).sum()))
     census = np.asarray(out["ph_census"])[: rb.n]
-    names = ["PIVOT(stall)", "FWD", "BWD", "R3", "DONE", "R3J"]
-    for p, nm in enumerate(names):
+    names = ["PIVOT(stall)", "FWD", "BWD", "R3", "DONE", "R3J",
+             "FF-RES", "FF-CNT", "FF-SMP", "FF-CMP", "FF-ISA", "FF-WLK"]
+    for p, nm in enumerate(names[: census.shape[1]]):
         print(f"phase {nm:12s} mean {census[:, p].mean():7.1f}")
     print(f"bwd dead-col  mean {np.asarray(out['bwd_dead'])[: rb.n].mean():7.1f}")
-    sq = np.asarray(out["same_quad"])[: rb.n].sum()
-    en = np.asarray(out["ext_n"])[: rb.n].sum()
-    print(f"same-quad extensions: {sq}/{en} = {sq/max(en,1):.3f}")
-    for k, nm in (("same_oct", "same-oct(1024)"), ("same_wrow", "wrow(2048)")):
-        v = np.asarray(out[k])[: rb.n].sum()
-        print(f"{nm} extensions: {v}/{en} = {v/max(en,1):.3f}")
     np1 = np.asarray(out["bwd_np1"])[: rb.n]
     cols = np.asarray(out["bwd_cols"])[: rb.n]
-    cov = np.asarray(out["bwd_cov"])[: rb.n]
     print(f"bwd: iters/read {census[:, 2].mean():.1f}  n_prev==1 iters "
-          f"{np1.mean():.1f}  columns {cols.mean():.1f}  covered(2-row) "
-          f"{cov.mean():.1f}")
+          f"{np1.mean():.1f}  columns {cols.mean():.1f}")
+    if "ff_events" in out:
+        ev = np.asarray(out["ff_events"])[: rb.n]
+        sk = np.asarray(out["ff_skip"])[: rb.n]
+        print(f"ff events/read fwd {ev[:, 0].mean():.2f} bwd "
+              f"{ev[:, 1].mean():.2f} r3 {ev[:, 2].mean():.2f}; "
+              f"heavy-wait iters {sk.mean():.1f}")
 
 
 main()

@@ -16,7 +16,7 @@ def main():
     genome = simulate_genome(4_600_000, seed=1)
     idx = build_index([("ecoli", genome)])
     al = Aligner.build(idx, AlignOptions(), mode="full")
-    print("jump:", al.jump_base, al.jump_depth, file=sys.stderr)
+    print("table:", al.table, file=sys.stderr)
     sim = simulate_reads(genome, B, read_len=150, sub_rate=0.01, seed=100)
     rb = pack_reads(sim.reads, sim.names)
     t0 = time.time()
