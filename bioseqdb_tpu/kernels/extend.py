@@ -202,11 +202,16 @@ def extend_all(
     ckept = dense.lookup(flt["kept"], cis) > 0
     usable = in_chain & ckept & seeds["valid"]
     slen = seeds["len"]
-    # order key: chain rank asc, then score desc with ties to later slot
+    # order key: chain rank asc, then score desc with ties to later slot.
+    # Seed score = len * match unless the long-read seed-SW filter
+    # (kernels/seedsw.py) re-scored it (bwa s->score semantics).
+    sscore = seeds.get("score")
+    if sscore is None:
+        sscore = slen * match_score
     sidx = jnp.arange(S, dtype=i32)[None, :]
-    key = crank * (1 << 20) + (1023 - jnp.minimum(slen, 1023)) * (1 << 10) + (
-        S - 1 - sidx
-    )
+    key = (crank * (1 << 19)
+           + (4095 - jnp.clip(sscore, 0, 4095)) * (1 << 7)
+           + (S - 1 - sidx))
     key = jnp.where(usable, key, jnp.int32(0x7FFFFFF0))
     order = jnp.argsort(key, axis=1).astype(i32)   # (B, S) slot processing order
     n_usable = usable.sum(axis=1).astype(i32)

@@ -59,6 +59,9 @@ DEBUG_CENSUS = False  # tools/iter_split.py: per-phase iteration counters
 FF_DISABLE: set = set()
 FF_LIGHT = True     # trace the light decode (LF walk / marks)  [debug]
 FF_HEAVY = "half"   # "half" | "never" | "always"               [debug]
+# finer static bisection of the ff trace: parts to SKIP tracing
+# ("entry", "addr", "land", "cols", "push")                     [debug]
+FF_SKIP: set = set()
 
 
 @functools.partial(jax.jit, static_argnames=("depth",))
@@ -571,10 +574,11 @@ def collect_seeds_device(
         # streams flag codes >= 4 as 0b11 groups so one funnel pipeline
         # serves codes and ambiguity alike. Inputs (loop-invariant), but
         # carried in the state for straggler compaction.
-        cpk, apk = _pack16(codes)
-        rpk, rapk = _pack16(codes[:, ::-1])
-        st["cpk"], st["apk"] = cpk, apk
-        st["rpk"], st["rapk"] = rpk, rapk
+        if "cols" not in FF_SKIP:
+            cpk, apk = _pack16(codes)
+            rpk, rapk = _pack16(codes[:, ::-1])
+            st["cpk"], st["apk"] = cpk, apk
+            st["rpk"], st["rapk"] = rpk, rapk
     if DEBUG_CENSUS:
         st["ph_census"] = jnp.zeros((B, N_PHASES), i32)
         st["bwd_dead"] = jnp.zeros(B, i32)
@@ -757,7 +761,7 @@ def collect_seeds_device(
         st["iters"] = st["iters"] + (st["phase"] != PH_DONE).astype(i32)
 
         st = pivot_step(st)
-        if ff:
+        if ff and "entry" not in FF_SKIP:
             st = ff_entry(st)
 
         if "ph_census" in st:  # debug instrumentation (tools/iter_split.py)
@@ -860,9 +864,12 @@ def collect_seeds_device(
             heavy_ph = in_fct | in_fsm | in_fcm | in_fia
             # LF-walk lanes gather the octo row of their current rank
             walk = in_fr | in_fiw
-            a = jnp.where(walk, ffr, a)
-            s_eff = jnp.where(walk, 0, s_eff)
-            if heavy:
+            if "addr" not in FF_SKIP:
+                a = jnp.where(walk, ffr, a)
+                s_eff = jnp.where(walk, 0, s_eff)
+            if "addr" in FF_SKIP:
+                pass
+            elif heavy:
                 # synthesized row addresses (see _row_addr): every
                 # fast-forward lookup is a row of the SAME table
                 rb7 = (ffr >> 7)
@@ -1340,14 +1347,17 @@ def collect_seeds_device(
         # ---- backward fast-forward landing ----
         # prev[0] <- (landing k, 1, end); i -= matched; the next stepwise
         # iteration fails the column and emits exactly (service-equal)
-        if ff:
+        if ff and "land" not in FF_SKIP:
             p0e = st["prev"][:, 0, 2]
             fft_now = fget(new["ffa"], F_FFT, 9)
-            prev0 = new["prev"][:, 0, :]
             land_row = jnp.stack(
                 [kland, jnp.ones_like(kland), p0e], axis=1)
-            prev0 = jnp.where(apply_bwd[:, None], land_row, prev0)
-            new["prev"] = new["prev"].at[:, 0, :].set(prev0)
+            # dense one-hot write, NOT .at[:, 0].set: a dynamic-update-
+            # slice into the tiled (B, P, 3) buffer (minor dim 3 pads to
+            # 128 lanes on TPU) lowers to non-fused padded-buffer copies
+            # — measured 11x on the whole loop (tools/ab_ff.py round 3)
+            new["prev"] = dense.put_row(
+                new["prev"], jnp.zeros(nB, i32), land_row, apply_bwd)
             new["i"] = jnp.where(apply_bwd, i - fft_now, new["i"])
             new["rev1"] = jnp.where(apply_bwd, False, new["rev1"])
             new["phase"] = jnp.where(apply_bwd, PH_BWD, new["phase"])

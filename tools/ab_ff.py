@@ -53,16 +53,31 @@ def main():
     # separating it from the fast-forward phase dynamics. L0/L1 bisect
     # the machinery itself: L0 = entry+state only, L1 = +light decode.
     allof = {"fwd", "bwd", "r3"}
-    variants = [("stepwise", None, set(), True, "half"),
-                ("mach-L0", tbl, allof, False, "never"),
-                ("mach-L1", tbl, allof, True, "never"),
-                ("machinery", tbl, allof, True, "half"),
-                ("inloop-ff", tbl, set(), True, "half")]
+    import os
+
+    mode = os.environ.get("BST_AB_MODE", "std")
+    if mode == "l0":
+        # drill into mach-L0: which part of the inert ff trace costs 11x?
+        variants = [
+            ("stepwise", None, set(), True, "half", set()),
+            ("L0", tbl, allof, False, "never", set()),
+            ("L0-min", tbl, allof, False, "never",
+             {"entry", "addr", "land", "cols"}),
+            ("L0-noaddr", tbl, allof, False, "never", {"addr"}),
+            ("L0-noland", tbl, allof, False, "never", {"land"}),
+        ]
+    else:
+        variants = [("stepwise", None, set(), True, "half", set()),
+                    ("mach-L0", tbl, allof, False, "never", set()),
+                    ("mach-L1", tbl, allof, True, "never", set()),
+                    ("machinery", tbl, allof, True, "half", set()),
+                    ("inloop-ff", tbl, set(), True, "half", set())]
     fns = []
-    for name, t, disable, light, hv in variants:
+    for name, t, disable, light, hv, skip in variants:
         kseed.FF_DISABLE = disable
         kseed.FF_LIGHT = light
         kseed.FF_HEAVY = hv
+        kseed.FF_SKIP = skip
         jax.clear_caches()
         f = jax.jit(lambda c, l, t=t: collect_seeds_device(
             fm, c, l, table=t, **kw)["n_mem"].sum())
@@ -72,7 +87,7 @@ def main():
               file=sys.stderr, flush=True)
         fns.append((name, f, out))
     kseed.FF_DISABLE = set()
-    kseed.FF_LIGHT, kseed.FF_HEAVY = True, "half"
+    kseed.FF_LIGHT, kseed.FF_HEAVY, kseed.FF_SKIP = True, "half", set()
     outs = [o for _, _, o in fns]
     fns = [(n, f) for n, f, _ in fns]
     assert len(set(outs)) == 1, f"outputs differ: {outs}"
