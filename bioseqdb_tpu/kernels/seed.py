@@ -530,9 +530,17 @@ def collect_seeds_device(
         rev1=jnp.zeros(B, jnp.bool_),             # first bwd column reads
                                                   # prev (=cand) in reverse
         min_intv=jnp.ones(B, rdt),                # per-lane (round 2 overrides)
-        # in-loop mems are (k, s, start, end); the dead l column is
-        # re-expanded to the 5-wide output layout only at return
-        mems=jnp.zeros((B, M, 4), rdt),
+        # in-loop mems are FOUR (B, M) COLUMN arrays (k, s, start, end):
+        # a (B, M, 4) table tempts XLA into layouts whose 4-wide minor
+        # dim pads to 128 lanes — the per-iteration put_row fusion then
+        # materializes 32x the logical bytes (~2.3 ms/iteration,
+        # measured as an 11x loop slowdown; tools/ab_ff.py round 3 +
+        # XLA estimated_cycles). The dead l column is re-added to the
+        # 5-wide output layout only at return.
+        mem_k=jnp.zeros((B, M), rdt),
+        mem_s=jnp.zeros((B, M), rdt),
+        mem_b=jnp.zeros((B, M), rdt),
+        mem_e=jnp.zeros((B, M), rdt),
         n_mem=jnp.zeros(B, i32),
         n_mem_r1=jnp.zeros(B, i32),               # count after round 1
         r2i=jnp.zeros(B, i32),                    # round-2 source mem index
@@ -636,11 +644,15 @@ def collect_seeds_device(
         r2i = jnp.where(to_r2, 0, st["r2i"])
         st["it_r1"] = jnp.where(to_r2, st["iters"], st["it_r1"])
 
-        # round 2 iterates over round-1 mems
+        # round 2 iterates over round-1 mems (column picks: (B, M) one-
+        # hots, no narrow-minor-dim table materialization)
         at_r2 = at_pivot & (rnd == RD_RESEED)
-        r2_src = dense.pick_row(st["mems"], jnp.clip(r2i, 0, M - 1))
-        r2_len = (r2_src[:, 3] - r2_src[:, 2]).astype(i32)
-        r2_eligible = (r2_len >= split_len) & (r2_src[:, 1] <= split_width)
+        r2ix = jnp.clip(r2i, 0, M - 1)
+        r2_s = dense.pick_row(st["mem_s"], r2ix)
+        r2_b = dense.pick_row(st["mem_b"], r2ix)
+        r2_e = dense.pick_row(st["mem_e"], r2ix)
+        r2_len = (r2_e - r2_b).astype(i32)
+        r2_eligible = (r2_len >= split_len) & (r2_s <= split_width)
         r2_exhausted = at_r2 & (r2i >= st["n_mem_r1"])
         r2_skip = at_r2 & ~r2_exhausted & ~r2_eligible
         r2_go = at_r2 & ~r2_exhausted & r2_eligible
@@ -663,10 +675,10 @@ def collect_seeds_device(
         go1 = p1 & (qx < 4)
         # round-2 pivot: x = (start+end)>>1, min_intv = s+1
         go2 = r2_go
-        piv2 = ((r2_src[:, 2] + r2_src[:, 3]) >> 1).astype(i32)
+        piv2 = ((r2_b + r2_e) >> 1).astype(i32)
         x = jnp.where(go2, piv2, x)
         st["min_intv"] = jnp.where(
-            go2, r2_src[:, 1] + 1, jnp.where(go1, 1, st["min_intv"]))
+            go2, r2_s + 1, jnp.where(go1, 1, st["min_intv"]))
         go = go1 | go2
         qpiv = qat_in(st["codes"], x)
         piv_amb2 = go2 & (qpiv >= 4)  # re-seed pivot on an N: skip it
@@ -1237,7 +1249,11 @@ def collect_seeds_device(
         last_start_r = st["last_start"]
         curr_buf = st["curr"]
         emit_any = jnp.zeros(nB, jnp.bool_)
-        emit_row = jnp.zeros((nB, 4), rdt)
+        # emitted mem as SCALAR columns (no (B, 4) row materialization —
+        # see the mems layout note in the state init)
+        em_k = jnp.zeros(nB, rdt)
+        em_s = jnp.zeros(nB, rdt)
+        em_e = jnp.zeros(nB, rdt)
         ovf_bwd = jnp.zeros(nB, jnp.bool_)
         slot_l, row_l, push_l = [], [], []
         for t in range(KC):
@@ -1254,11 +1270,9 @@ def collect_seeds_device(
             # round filters: emit only seeds meeting the round's length
             slen = (piv_t[:, 2].astype(i32)) - (bw_i + 1)
             emit = emit & (slen >= min_seed_len) & ~emit_any
-            mem_row_t = jnp.stack(
-                [piv_t[:, 0], piv_t[:, 1],
-                 (bw_i + 1).astype(rdt), piv_t[:, 2]], axis=1
-            )
-            emit_row = jnp.where(emit[:, None], mem_row_t, emit_row)
+            em_k = jnp.where(emit, piv_t[:, 0], em_k)
+            em_s = jnp.where(emit, piv_t[:, 1], em_s)
+            em_e = jnp.where(emit, piv_t[:, 2], em_e)
             emit_any = emit_any | emit
             last_start_r = jnp.where(emit, bw_i + 1, last_start_r)
             # grow curr when extension survives, size distinct from last
@@ -1295,22 +1309,32 @@ def collect_seeds_device(
         r3_ext = in_r3 & (i < L) & (qi < 4)
         hit = r3_ext & (ok_s < max_mem_intv) & ((i - x) >= min_seed_len)
         emit3 = hit & (ok_s > 0)
-        mem3 = jnp.stack([ok_k, ok_s, x.astype(rdt),
-                          (i + 1).astype(rdt)], axis=1)
-        # an r3 fast-forward verdict emits (k, 1, x, x+min_seed_len+1):
-        # the stepwise scan stops at i = x + min_seed_len with s still 1
-        ff_r3_row = jnp.stack(
-            [st["ik"][:, 0], jnp.ones_like(st["ik"][:, 0]),
-             x.astype(rdt), (x + min_seed_len + 1).astype(rdt)], axis=1)
         # ---- the one shared mems push (bwd emit | r3 emit | ff r3) ----
-        # the three sources are phase-exclusive per lane
+        # the three sources are phase-exclusive per lane; an r3
+        # fast-forward verdict emits (k, 1, x, x+min_seed_len+1) — the
+        # stepwise scan stops at i = x + min_seed_len with s still 1.
+        # Columns push independently (no (B, 4) row tensor; see the
+        # mems layout note in the state init).
         push_any = emit_any | emit3 | r3_emit
-        push_val = jnp.where(
-            emit_any[:, None], emit_row,
-            jnp.where(r3_emit[:, None], ff_r3_row, mem3))
-        new["mems"], new["n_mem"], ovf2 = push_row(
-            new["mems"], new["n_mem"], push_val, push_any
-        )
+        pv_k = jnp.where(emit_any, em_k,
+                         jnp.where(r3_emit, st["ik"][:, 0], ok_k))
+        pv_s = jnp.where(emit_any, em_s,
+                         jnp.where(r3_emit, jnp.ones_like(ok_s), ok_s))
+        pv_b = jnp.where(emit_any, (bw_i + 1).astype(rdt), x.astype(rdt))
+        pv_e = jnp.where(
+            emit_any, em_e,
+            jnp.where(r3_emit, (x + min_seed_len + 1).astype(rdt),
+                      (i + 1).astype(rdt)))
+        nmm = new["n_mem"]
+        ovf2 = push_any & (nmm >= M)
+        wr = push_any & ~ovf2
+        ohm = (jnp.arange(M, dtype=i32)[None, :]
+               == jnp.minimum(nmm, M - 1)[:, None]) & wr[:, None]
+        new["mem_k"] = jnp.where(ohm, pv_k[:, None], new["mem_k"])
+        new["mem_s"] = jnp.where(ohm, pv_s[:, None], new["mem_s"])
+        new["mem_b"] = jnp.where(ohm, pv_b[:, None], new["mem_b"])
+        new["mem_e"] = jnp.where(ohm, pv_e[:, None], new["mem_e"])
+        new["n_mem"] = nmm + wr.astype(i32)
         new["overflow"] = new["overflow"] | ovf2 | ovf_bwd
         new["last_start"] = jnp.where(in_bwd, last_start_r,
                                       new["last_start"])
@@ -1440,9 +1464,9 @@ def collect_seeds_device(
         b //= 2 if not sizes else 4
         sizes.append(b)
     st = run_compacting(st, sizes)
-    m4 = st["mems"]
-    mems5 = jnp.concatenate(
-        [m4[:, :, :1], jnp.zeros_like(m4[:, :, :1]), m4[:, :, 1:]], axis=2)
+    mems5 = jnp.stack(
+        [st["mem_k"], jnp.zeros_like(st["mem_k"]), st["mem_s"],
+         st["mem_b"], st["mem_e"]], axis=2)
     out = dict(mems=mems5, n_mem=st["n_mem"], overflow=st["overflow"],
                iters=st["iters"], it_r1=st["it_r1"], it_r2=st["it_r2"])
     if DEBUG_CENSUS:

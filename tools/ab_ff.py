@@ -15,8 +15,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    import os as _os
     jax.config.update("jax_compilation_cache_dir",
-                      __file__.rsplit("/", 2)[0] + "/.jax_cache")
+                      _os.environ.get("BST_CACHE_DIR",
+                                      __file__.rsplit("/", 2)[0]
+                                      + "/.jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from bioseqdb_tpu.align.options import AlignOptions
@@ -56,7 +59,16 @@ def main():
     import os
 
     mode = os.environ.get("BST_AB_MODE", "std")
-    if mode == "l0":
+    if mode == "cls":
+        # dynamics per origin class: which fast-forward flow is slow?
+        variants = [
+            ("stepwise", None, set(), True, "half", set()),
+            ("ff-fwd", tbl, {"bwd", "r3"}, True, "half", set()),
+            ("ff-bwd", tbl, {"fwd", "r3"}, True, "half", set()),
+            ("ff-r3", tbl, {"fwd", "bwd"}, True, "half", set()),
+            ("ff-all", tbl, set(), True, "half", set()),
+        ]
+    elif mode == "l0":
         # drill into mach-L0: which part of the inert ff trace costs 11x?
         variants = [
             ("stepwise", None, set(), True, "half", set()),
@@ -72,7 +84,14 @@ def main():
                     ("mach-L1", tbl, allof, True, "never", set()),
                     ("machinery", tbl, allof, True, "half", set()),
                     ("inloop-ff", tbl, set(), True, "half", set())]
-    fns = []
+    # each variant is compiled AND timed under its own module flags,
+    # sequentially: the flags are trace-time, and clear_caches between
+    # variants would otherwise make later executions silently RE-TRACE
+    # under whatever flags are current (the round-3 measurement bug that
+    # produced identical times for every variant)
+    REPS = 8
+    outs = []
+    rows = []
     for name, t, disable, light, hv, skip in variants:
         kseed.FF_DISABLE = disable
         kseed.FF_LIGHT = light
@@ -82,34 +101,20 @@ def main():
         f = jax.jit(lambda c, l, t=t: collect_seeds_device(
             fm, c, l, table=t, **kw)["n_mem"].sum())
         t0 = time.time()
-        out = int(jax.device_get(f(codes, lens)))
+        outs.append(int(jax.device_get(f(codes, lens))))
         print(f"[ab] compile+run {name}: {time.time() - t0:.1f}s",
               file=sys.stderr, flush=True)
-        fns.append((name, f, out))
-    kseed.FF_DISABLE = set()
-    kseed.FF_LIGHT, kseed.FF_HEAVY, kseed.FF_SKIP = True, "half", set()
-    outs = [o for _, _, o in fns]
-    fns = [(n, f) for n, f, _ in fns]
-    assert len(set(outs)) == 1, f"outputs differ: {outs}"
-
-    # clear_caches between variants (FF_DISABLE is trace-time) evicted
-    # the earlier variants' executables: re-warm each before timing
-    for name, f in fns:
-        t0 = time.time()
-        jax.device_get(f(codes, lens))
-        print(f"[ab] rewarm {name}: {time.time() - t0:.1f}s",
-              file=sys.stderr, flush=True)
-
-    REPS = 6
-    times = {name: [] for name, _ in fns}
-    for rep in range(REPS):
-        for name, f in fns:
+        ts = []
+        for _ in range(REPS):
             t0 = time.time()
             jax.device_get(f(codes, lens))
-            times[name].append(time.time() - t0)
+            ts.append(time.time() - t0)
+        rows.append((name, ts))
+    kseed.FF_DISABLE = set()
+    kseed.FF_LIGHT, kseed.FF_HEAVY, kseed.FF_SKIP = True, "half", set()
+    assert len(set(outs)) == 1, f"outputs differ: {outs}"
     base = None
-    for name, _ in fns:
-        ts = times[name]
+    for name, ts in rows:
         med = sorted(ts)[len(ts) // 2]
         if base is None:
             base = med

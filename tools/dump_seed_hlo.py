@@ -51,8 +51,8 @@ def main():
 
     texts = {}
     for name, t, disable, light, hv in (
-            ("stepwise", None, set(), True, "half"),
-            ("mach-L0", tbl, {"fwd", "bwd", "r3"}, False, "never")):
+            ("machinery", tbl, {"fwd", "bwd", "r3"}, True, "half"),
+            ("inloop", tbl, set(), True, "half")):
         kseed.FF_DISABLE = disable
         kseed.FF_LIGHT = light
         kseed.FF_HEAVY = hv
@@ -68,8 +68,8 @@ def main():
         for op, n in h.most_common(30):
             print(f"   {op:28s} {n}")
     kseed.FF_DISABLE, kseed.FF_LIGHT, kseed.FF_HEAVY = set(), True, "half"
-    ha, hb = histo(texts["stepwise"]), histo(texts["mach-L0"])
-    print("== diff (mach-L0 minus stepwise):")
+    ha, hb = histo(texts["machinery"]), histo(texts["inloop"])
+    print("== diff (inloop minus machinery):")
     for op in sorted(set(ha) | set(hb)):
         d = hb.get(op, 0) - ha.get(op, 0)
         if d:
