@@ -276,6 +276,24 @@ def occ4_from_quad(fm: FMDevice, q128, blk, off, mine,
     return _owner_sum(row[..., :4] + cnt, mine, axis) + _small_rows(fm.occ_majors, m)
 
 
+def occ4_and_block(fm: FMDevice, q128, blk, off, mine,
+                   axis: str | None = None):
+    """occ4_from_quad that ALSO returns the picked 12-int32 block row —
+    the 8-way pick happens once and consumers (the seeding loop's
+    fast-forward LF/mark decode) reuse it instead of re-picking."""
+    sub = q128[..., :96].reshape(q128.shape[:-1] + (OCT_BLOCKS, 12))
+    pick_idx = jnp.broadcast_to((blk & 7).astype(jnp.int32)[..., None],
+                                blk.shape + (12,))
+    row = _pick(sub, pick_idx, axis=-2)
+    cs = jnp.arange(4, dtype=jnp.int32)
+    cnt = _row_counts(row[..., None, :], jnp.broadcast_to(cs, blk.shape + (4,)),
+                      off[..., None])
+    m = jnp.clip(blk >> _LOG2_MAJOR, 0, fm.occ_majors.shape[0] - 1)
+    occ4 = _owner_sum(row[..., :4] + cnt, mine, axis) + _small_rows(
+        fm.occ_majors, m)
+    return occ4, row
+
+
 def occ_rows_for(fm: FMDevice, r: jnp.ndarray, axis: str | None = None):
     """Fetch the octo rows containing the conceptual-prefix positions
     ``r`` (one fused row gather). Returns (row96, blk, off, mine) with

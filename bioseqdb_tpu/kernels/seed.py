@@ -917,10 +917,12 @@ def collect_seeds_device(
         # and the multi-candidate decodes
         both = jnp.concatenate([a, a + s_eff])
         rows2, blk2, off2, mine2 = kfm.occ_rows_for(fm, both, shard_axis)
-        occ4b = kfm.occ4_from_quad(fm, rows2, blk2, off2, mine2, shard_axis)
+        occ4b, rows12b = kfm.occ4_and_block(fm, rows2, blk2, off2, mine2,
+                                            shard_axis)
         o1, o2 = occ4b[:nB], occ4b[nB:]
         k4, l4, s4 = kfm.fmd_extend_from_occ(fm, a, b, s_eff, o1, o2)
         rowsA, blkA, offA = rows2[:nB], blk2[:nB], off2[:nB]
+        rowA12 = rows12b[:nB]  # the already-picked 12-int32 block row
 
         c_raw = qi
         c_ext = jnp.where(in_bwd, c_raw, 3 - c_raw)
@@ -966,10 +968,8 @@ def collect_seeds_device(
             new_phase_ff = phase
             # ---- LF step + in-row mark check (PH_FR / PH_FIW) ----
             # c at stored position (blkA, offA); LF = L2[c] + occ4B[c] + 1
-            subA = rowsA[..., :96].reshape((nB, kfm.OCT_BLOCKS, 12))
-            pick8 = jnp.broadcast_to(((blkA & 7).astype(i32))[:, None],
-                                     (nB, 12))
-            rowA12 = dense.pick(subA, pick8, axis=-2)
+            # (rowA12 rides along from the shared occ4 decode — no
+            # duplicate 8-way pick)
             wsel_i = dense.pick(rowA12[:, 4:], (offA >> 4), axis=-1)
             wsel = jax.lax.bitcast_convert_type(wsel_i, jnp.uint32)
             c_fr = ((wsel >> (2 * (15 - (offA & 15))).astype(jnp.uint32))
@@ -1025,31 +1025,34 @@ def collect_seeds_device(
             kland = jnp.where(fiw_apply, lf.astype(rdt), kland)
 
             if heavy:
-                # ---- value decodes (PH_FCT / PH_FSM / PH_FIA) ----
+                # ---- value decodes (PH_FCT / PH_FSM / PH_FIA) + the
+                # compare's unit fetch share ONE 8-way stage-1 pick:
+                # the heavy phases are mutually exclusive per lane, so
+                # each lane selects its own 16-int32 sub-block
                 sub16 = rowsA.reshape((nB, 8, 16))
-
-                def val_pick(widx):  # word widx (0..127) of the row
-                    s1 = dense.pick(
-                        sub16,
-                        jnp.broadcast_to((widx >> 4).astype(i32)[:, None],
-                                         (nB, 16)), axis=-2)
-                    return dense.pick(s1, (widx & 15).astype(i32), axis=-1)
-
                 widx_cnt = (rb7 & 127).astype(i32)
                 vsel = jnp.where(in_fsm, ffr, aidx)
                 if pair:
                     w0 = (2 * (vsel & 63)).astype(i32)
-                    s1 = dense.pick(
-                        sub16,
-                        jnp.broadcast_to((w0 >> 4)[:, None], (nB, 16)),
-                        axis=-2)
-                    lo = dense.pick(s1, w0 & 15, axis=-1)
-                    hi = dense.pick(s1, (w0 & 15) + 1, axis=-1)
-                    rankv = ((lo.astype(rdt) & 0xFFFFFFFF)
+                    vhi, vlo = (w0 >> 4), (w0 & 15)
+                else:
+                    vhi = ((vsel & 127) >> 4).astype(i32)
+                    vlo = (vsel & 15).astype(i32)
+                idx8 = jnp.where(in_fct, widx_cnt >> 4, vhi)
+                idx8 = jnp.where(in_fcm, ((tcur_c >> 8) & 7).astype(i32),
+                                 idx8)
+                sel16 = dense.pick(
+                    sub16, jnp.broadcast_to(idx8[:, None], (nB, 16)),
+                    axis=-2)                                  # (nB, 16)
+                wlo = jnp.where(in_fct, widx_cnt & 15, vlo)
+                val0 = dense.pick(sel16, wlo, axis=-1)
+                if pair:
+                    hi = dense.pick(sel16, vlo + 1, axis=-1)
+                    rankv = ((val0.astype(rdt) & 0xFFFFFFFF)
                              + (hi.astype(rdt) << 32))
                 else:
-                    rankv = val_pick((vsel & 127).astype(i32)).astype(rdt)
-                cntv = val_pick(widx_cnt)
+                    rankv = val0.astype(rdt)
+                cntv = val0
                 rmaj = kfm._small_rows(
                     fm.sa_majors,
                     jnp.clip((rb7 >> kfm._LOG2_MAJOR).astype(i32), 0,
@@ -1084,11 +1087,8 @@ def collect_seeds_device(
                 kland = jnp.where(fia_apply, rankv, kland)
 
                 # ---- packed-text compare (PH_FCM) ----
-                unit16 = dense.pick(
-                    sub16,
-                    jnp.broadcast_to(((tcur_c >> 8) & 7).astype(i32)[:, None],
-                                     (nB, 16)), axis=-2)      # (nB, 16)
-                u32 = jax.lax.bitcast_convert_type(unit16, jnp.uint32)
+                # sel16 IS the 256-base text unit for fcm lanes
+                u32 = jax.lax.bitcast_convert_type(sel16, jnp.uint32)
                 rev32 = _rev2(u32)[:, ::-1]
                 tw_i = jax.lax.bitcast_convert_type(
                     jnp.where(is_bo[:, None], rev32, u32), jnp.int32)
