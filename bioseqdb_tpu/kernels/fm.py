@@ -461,8 +461,16 @@ def lf_step(fm: FMDevice, r: jnp.ndarray, axis: str | None = None) -> jnp.ndarra
     word = _pick(words, (off >> 4), axis=-1)
     c = ((word >> (2 * (15 - (off & 15))).astype(jnp.uint32)) & 3).astype(jnp.int32)
     ckpt = _pick(row[..., :4], c, axis=-1)
-    lf = _owner_sum(_lut(fm.L2, c) + ckpt + _row_counts(row, c, off) + 1, mine, axis)
-    lf = lf + _occ_major(fm, blk, c)
+    # the major-checkpoint term rides INSIDE the owner-masked sum: ``c``
+    # is decoded from the sharded row (garbage on non-owner shards), so
+    # adding _occ_major AFTER the psum would mix every shard's local-c
+    # major. Zero-major small indexes masked this for two rounds; the
+    # first real (>2^31) sharded run caught it
+    # (tools/bigindex_sharded_check.py, round 3).
+    lf = _owner_sum(
+        _lut(fm.L2, c) + ckpt + _row_counts(row, c, off) + 1
+        + _occ_major(fm, blk, c),
+        mine, axis)
     return jnp.where(r == fm.primary, 0, lf)
 
 

@@ -220,3 +220,37 @@ def test_sharded_int64_full_pipeline(setup):
     for f in ("rb", "re", "qb", "qe", "score", "truesc", "seedcov"):
         assert np.array_equal(out_sh["regs"][f], out_un["regs"][f]), f
     assert np.array_equal(out_sh["n_regs"], out_un["n_regs"])
+
+
+def test_sharded_resolve_nonzero_majors():
+    """Sharded LF steps must fold the major-checkpoint term INSIDE the
+    owner-masked psum: ``c`` is decoded from the sharded row (garbage on
+    non-owner shards), so a post-psum major add mixes every shard's
+    local-c major. Needs an index big enough for a NONZERO second major
+    row (> MAJOR_BLOCKS * 128 / 2 forward bases) — all-zero-major small
+    indexes masked the bug for two rounds (caught at 3.1 G doubled,
+    tools/bigindex_sharded_check.py round 3)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from bioseqdb_tpu.dist.shard_index import sa_resolve_sharded, shard_index
+    from bioseqdb_tpu.index.builder import build_index
+    from bioseqdb_tpu.index.fmindex import MAJOR_BLOCKS, OCC_BLOCK
+    from bioseqdb_tpu.utils.sim import simulate_genome
+
+    n_fwd = (MAJOR_BLOCKS * OCC_BLOCK) // 2 + 500_000  # 2+ major rows
+    g = simulate_genome(n_fwd, seed=77)
+    idx = build_index([("maj", g)])
+    assert idx.occ_majors.shape[0] >= 2 and idx.occ_majors[1:].any()
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2),
+                ("data", "index"))
+    fms = shard_index(idx, mesh)
+    rng = np.random.default_rng(9)
+    ranks = rng.integers(0, idx.seq_len + 1, size=64)
+    pos = np.asarray(jax.device_get(sa_resolve_sharded(
+        fms, jnp.asarray(ranks, fms.sa_sample.dtype), mesh,
+        sa_interval=idx.sa_interval)))
+    for r, p in zip(ranks, pos):
+        assert int(p) == idx.sa_at(int(r)), (r, p)
