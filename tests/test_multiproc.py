@@ -19,7 +19,7 @@ def test_multiproc_sharded_matches():
     env["BST_MP_PORT"] = "9787"
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "multiproc_check.py")],
-        env=env, capture_output=True, text=True, timeout=900,
+        env=env, capture_output=True, text=True, timeout=1800,
     )
     assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-2000:]
     assert "MULTIPROC CHECK: PASS" in r.stdout

@@ -139,7 +139,7 @@ def main():
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
     ok = True
     for r, p in enumerate(procs):
-        out, _ = p.communicate(timeout=600)
+        out, _ = p.communicate(timeout=1800)  # contended 2-core hosts: the check itself takes ~6 min
         sys.stdout.write(out)
         if p.returncode != 0 or "matches reference" not in out:
             ok = False
