@@ -291,8 +291,13 @@ def build_seed_table(fm: kfm.FMDevice, idx, depth: int | None = None,
     for p in parts:
         out[r : r + p.shape[0]] = p
         r += p.shape[0]
-    dev = next(iter(fm.blocks.devices()), None)
-    blocks_ext = jax.device_put(jnp.asarray(out), dev)
+    # preserve the ORIGINAL placement — under a data-parallel mesh the
+    # tables are mesh-replicated, and device_put to a bare device would
+    # strand the extended table on one device (test_dist caught this)
+    place = getattr(fm.blocks, "sharding", None)
+    if place is None:
+        place = next(iter(fm.blocks.devices()), None)
+    blocks_ext = jax.device_put(jnp.asarray(out), place)
     majors_ext = jnp.concatenate(
         [fm.occ_majors, jnp.zeros((1, 4), fm.occ_majors.dtype)], axis=0)
     table = SeedTable(jump_base=base if jd > 0 else 0, jump_depth=jd,
