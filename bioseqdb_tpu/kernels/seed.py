@@ -236,11 +236,11 @@ def build_seed_table(fm: kfm.FMDevice, idx, depth: int | None = None,
         base = n_blocks  # no jump: regions start right after the blocks
         K = 0
     pair = fm.rank_dtype == jnp.int64
-    vpr = 64 if pair else 128  # values per 128-int32 row
+
 
     def val_rows(vals: np.ndarray, as_pair: bool | None = None) -> np.ndarray:
         """Values -> (ceil(n/vpr), 128) int32 rows (lo/hi pairs when
-        ``as_pair``; value v at row v//vpr, word v%vpr (or word pair))."""
+        ``as_pair``; value v at row v//per_row, word v%per_row (pairs))."""
         v = np.asarray(vals)
         as_pair = pair if as_pair is None else as_pair
         nrows = -(-max(v.shape[0], 1) // (64 if as_pair else 128))
@@ -465,10 +465,18 @@ def collect_seeds_device(
     special-cased, so walks terminate and results are exact.
 
     Heavy fast-forward phases (value decodes, the comparison) advance
-    only on every LOOP_UNROLL-th body step; their vector cost is paid
-    once per unrolled group instead of every iteration (the round-1
+    only on every SECOND body step; their vector cost halves while a
+    waiting lane stalls at most one step per heavy phase (the round-1
     lesson: every extra per-iteration (B, W) pick costs like a rank
     query). Lanes in those phases simply wait, their gather slot parked.
+
+    MEASURED VERDICT (round 3, tools/ab_ff.py): even with the fused row
+    pick and the shared heavy stage-1 pick, every fast-forward class
+    nets NEGATIVE on this stack (ff-fwd 1.11x .. ff-bwd 1.28x vs
+    stepwise) — the ~25 extra in-loop ops cost ~1-2 us each per
+    iteration in the dependent-chain schedule, exceeding the 15-27%
+    iteration savings. The machinery stays exact and tested; enable
+    with a SeedTable only when the hardware's per-op floor shrinks.
 
     Sharded seeding (``shard_axis``) disables the fast-forward (the
     appended regions are unsharded); results are exactly equal with the

@@ -37,26 +37,37 @@ def main():
 
     out_dir = sys.argv[1] if len(sys.argv) > 1 else ".bigindex"
     B = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
+    reads_npz = sys.argv[3] if len(sys.argv) > 3 else None
     t0 = time.time()
-    idx = FMIndex.load(os.path.join(out_dir, "grch38_scale.idx"))
+    sub = os.path.join(out_dir, "grch38_scale.idx")
+    idx = FMIndex.load(sub if os.path.isdir(sub) else out_dir)
     log(f"index loaded in {time.time()-t0:.0f}s: doubled "
         f"{idx.seq_len/1e9:.2f}G, sa_interval {idx.sa_interval}, "
         f"blocks {idx.blocks.nbytes/2**30:.2f} GiB")
     assert idx.seq_len + 1 >= 2**31, "expected an int64-rank index"
 
-    # reads must come from the same generator stream as the build tool's
-    # genome (simulate_genome(n, seed=5))
     t0 = time.time()
-    g = simulate_genome(3_100_000_000, seed=5)
-    sim = simulate_reads(g, B, read_len=150, sub_rate=0.01, seed=11)
-    del g
-    log(f"genome re-simulated + {B} reads in {time.time()-t0:.0f}s")
-    batch = pack_reads(sim.reads, sim.names)
+    if reads_npz:  # pre-simulated truth reads saved next to the build
+        data = np.load(reads_npz, allow_pickle=True)
+        reads = [str(r) for r in data["reads"]][:B]
+        B = len(reads)
+        positions, strands = data["positions"][:B], data["strands"][:B]
+        log(f"{B} saved reads loaded")
+    else:
+        # reads must come from the same generator stream as the build
+        # tool's genome (simulate_genome(n, seed=5))
+        g = simulate_genome(idx.l_pac, seed=5)
+        sim = simulate_reads(g, B, read_len=150, sub_rate=0.01, seed=11)
+        del g
+        positions, strands = sim.positions, sim.strands
+        reads = sim.reads
+        log(f"genome re-simulated + {B} reads in {time.time()-t0:.0f}s")
+    batch = pack_reads(reads, [f"r{i}" for i in range(B)])
 
     t0 = time.time()
     al = Aligner.build(idx, AlignOptions(), mode="full")
     log(f"device tables resident in {time.time()-t0:.0f}s "
-        f"(device={jax.devices()[0]}, jump depth {al.jump_depth})")
+        f"(device={jax.devices()[0]}, table {al.table})")
 
     t0 = time.time()
     out = jax.device_get(al.device_regions(batch))
@@ -66,7 +77,7 @@ def main():
     log(f"host finalize: {time.time()-t0:.1f}s")
 
     ok = sum(
-        1 for r, p, s in zip(res, sim.positions, sim.strands)
+        1 for r, p, s in zip(res, positions, strands)
         if r.mapped and r.primary.ref_begin == p
         and r.primary.is_reverse == bool(s)
     )
