@@ -120,7 +120,7 @@ def full_align_step(
         split_width=split_width, max_mem_intv=max_mem_intv,
         jump_base=(table.jump_base if table else 0),
         jump_depth=(table.jump_depth if table else 0),
-        sa_interval=sa_interval, kcand=kcand, table=table, **caps,
+        sa_interval=sa_interval, kcand=kcand, **caps,
     )
     seeds = resolve_seeds(fm, mems["mems"], mems["n_mem"],
                           max_occ=max_occ, max_seeds=max_seeds,
@@ -290,23 +290,16 @@ class Aligner:
             pac_dev = jax.device_put(
                 jnp.asarray(index.packed_doubled_rows(pack_doubled_rows)),
                 device)
-            # unified seeding table: r3 jump + in-loop fast-forward
-            # regions as rows of fm.blocks (kernels/seed.py). BST_NO_FF=1
-            # drops the fast-forward regions, BST_NO_R3_JUMP=1 the jump;
-            # BST_JUMP_DEPTH forces a depth (gather-cliff A/Bs).
+            # seeding table: r3 jump rows appended to fm.blocks
+            # (kernels/seed.py build_seed_table). BST_NO_R3_JUMP=1
+            # disables the jump; BST_JUMP_DEPTH forces a depth
+            # (gather-cliff A/Bs).
             force_d = None
             if os.environ.get("BST_NO_R3_JUMP") == "1":
                 force_d = 0
             elif os.environ.get("BST_JUMP_DEPTH"):
                 force_d = int(os.environ["BST_JUMP_DEPTH"])
-            # BST_FF=1 enables the in-loop fast-forward regions. Default
-            # OFF while the round-3 chip regression is being worked:
-            # outputs are exact (tests/test_seed_ff.py) but the ff trace
-            # currently lowers ~11x slower on v5e (tools/ab_ff.py) —
-            # under investigation; flip the default when it wins.
-            fm, table = build_seed_table(
-                fm, index, depth=force_d,
-                with_ff=os.environ.get("BST_FF", "0") == "1")
+            fm, table = build_seed_table(fm, index, depth=force_d)
         else:
             pac_dev = None
         return cls(

@@ -16,8 +16,7 @@ def main():
     from bioseqdb_tpu.io.batch import pack_reads
     from bioseqdb_tpu.kernels import fm as kfm
     from bioseqdb_tpu.kernels import seed as kseed
-    from bioseqdb_tpu.kernels.seed import (build_r3_jump, build_seed_table,
-                                           collect_seeds_device)
+    from bioseqdb_tpu.kernels.seed import build_r3_jump, collect_seeds_device
     from bioseqdb_tpu.utils.sim import simulate_genome, simulate_reads
 
     kseed.DEBUG_CENSUS = True
@@ -27,12 +26,7 @@ def main():
     genome = simulate_genome(4_600_000, seed=1)
     idx = build_index([("ecoli", genome)])
     fm = kfm.FMDevice.from_host(idx)
-    tbl = None
-    if os.environ.get("BST_ITER_FF") == "1":  # in-loop fast-forward census
-        fm, tbl = build_seed_table(fm, idx)
-        jb, jd = tbl.jump_base, tbl.jump_depth
-    else:
-        fm, jb, jd = build_r3_jump(fm)
+    fm, jb, jd = build_r3_jump(fm)
     print("jump base/depth:", jb, jd)
     sim = simulate_reads(genome, B, read_len=150, sub_rate=0.01, seed=7)
     rb = pack_reads(sim.reads, sim.names)
@@ -42,7 +36,7 @@ def main():
     out = collect_seeds_device(
         fm, codes, lens, min_seed_len=opt.min_seed_len, split_len=split_len,
         split_width=opt.split_width, max_mem_intv=opt.max_mem_intv,
-        jump_base=jb, jump_depth=jd, sa_interval=idx.sa_interval, table=tbl)
+        jump_base=jb, jump_depth=jd, sa_interval=idx.sa_interval)
     it = np.asarray(out["iters"])[: rb.n]
     r1 = np.asarray(out["it_r1"])[: rb.n]
     r2 = np.asarray(out["it_r2"])[: rb.n]
