@@ -294,6 +294,46 @@ def occ4_and_block(fm: FMDevice, q128, blk, off, mine,
     return occ4, row
 
 
+def quad_table(blocks: jnp.ndarray) -> jnp.ndarray:
+    """Quad-row view of an octo blocks table: (n/8, 128) -> (n/4, 48)
+    with the SA-mark columns dropped (4 Occ blocks per 48-int32 row).
+
+    The seeding loop's shared fetch reads whole rows; 48-int32 rows cut
+    the gathered bytes 2.7x and the 8-way block pick to a 4-way pick
+    over 1/3 the input (round-4 cost split: that pick was ~33% of the
+    full-width body cycles). The quad table pads its 48-lane minor dim
+    to 128 on HBM (2x the octo table's physical bytes) — callers keep
+    it only while the octo layout's mark columns are not needed."""
+    n8 = blocks.shape[0]
+    occ = blocks[:, :96]
+    return occ.reshape(n8 * 2, 48)
+
+
+def occ_rows_for_q(fm: FMDevice, tab_q: jnp.ndarray, r: jnp.ndarray,
+                   axis: str | None = None):
+    """occ_rows_for against a quad_table: returns (row48, blk, off, mine)."""
+    j = r - (r > fm.primary).astype(r.dtype)
+    blk = j >> _LOG2_OCC_BLOCK
+    row48, mine = _table_row(tab_q, blk >> 2, axis)
+    return row48, blk, (j & (OCC_BLOCK - 1)).astype(jnp.int32), mine
+
+
+def occ4_and_block_q(fm: FMDevice, q48, blk, off, mine,
+                     axis: str | None = None):
+    """occ4_and_block decoding from gathered 48-int32 quad rows."""
+    sub = q48.reshape(q48.shape[:-1] + (4, 12))
+    pick_idx = jnp.broadcast_to((blk & 3).astype(jnp.int32)[..., None],
+                                blk.shape + (12,))
+    row = _pick(sub, pick_idx, axis=-2)
+    cs = jnp.arange(4, dtype=jnp.int32)
+    cnt = _row_counts(row[..., None, :], jnp.broadcast_to(cs, blk.shape + (4,)),
+                      off[..., None])
+    m = jnp.clip(blk >> _LOG2_MAJOR, 0, fm.occ_majors.shape[0] - 1)
+    occ4 = _owner_sum(row[..., :4] + cnt, mine, axis) + _small_rows(
+        fm.occ_majors, m)
+    return occ4, row
+
+
 def occ_rows_for(fm: FMDevice, r: jnp.ndarray, axis: str | None = None):
     """Fetch the octo rows containing the conceptual-prefix positions
     ``r`` (one fused row gather). Returns (row96, blk, off, mine) with

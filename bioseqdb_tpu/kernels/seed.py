@@ -272,7 +272,8 @@ def _pack_streams(codes: jnp.ndarray, jump_depth: int):
     jax.jit,
     static_argnames=("min_seed_len", "split_width", "max_mem_intv", "split_len",
                      "max_cand", "max_mem", "max_iters", "shard_axis",
-                     "jump_base", "jump_depth", "sa_interval", "kcand"),
+                     "jump_base", "jump_depth", "sa_interval", "kcand",
+                     "share_fetch"),
 )
 def collect_seeds_device(
     fm: kfm.FMDevice,
@@ -290,6 +291,8 @@ def collect_seeds_device(
     jump_depth: int = JUMP_DEPTH,
     sa_interval: int = 32,
     kcand: int = 1,
+    quad_rows: jnp.ndarray | None = None,
+    share_fetch: bool = True,
 ):
     """Run all three seeding rounds for a batch of reads.
 
@@ -333,6 +336,20 @@ def collect_seeds_device(
     # (in-row decodes are unsharded; sharded rank math would need a psum
     # per candidate)
     KC = kcand if (shard_axis is None and kcand > 0) else 1
+    # quad-row fetch (kfm.quad_table): 48-int32 rows, 4-way pick. The
+    # KC>1 covering-pair decode needs full octo rows; quad implies KC=1.
+    if quad_rows is not None:
+        KC = 1
+    # fetch sharing: 74.6% of live iterations have both rank positions
+    # (a, a+s) inside ONE octo row (1024 bases; tools/iter_split.py
+    # census), and the shared gather is per-ROW bound (~2.9 ns/row,
+    # byte width free — tools/ab_quadrow.py). So fetch ONE row per lane
+    # and decode both occ4 offsets from it; the ~25% split lanes stall
+    # one iteration (pend2) to fetch the second row, with the first
+    # decode held in o1hold. Exact: stalled lanes freeze their state,
+    # so the re-derived (a, s) and decodes are identical.
+    share = (share_fetch and shard_axis is None and KC == 1
+             and quad_rows is None)
 
     cpk, abm, jcw = _pack_streams(codes.astype(i32), J if jump else 0)
 
@@ -371,6 +388,9 @@ def collect_seeds_device(
         mem_s=jnp.zeros((B, M), rdt),
         mem_b=jnp.zeros((B, M), rdt),
         mem_e=jnp.zeros((B, M), rdt),
+        # fetch-sharing scratch: split-pair stall flag + held first decode
+        **(dict(pend2=jnp.zeros(B, jnp.bool_),
+                o1hold=jnp.zeros((B, 4), rdt)) if share else {}),
         n_mem=jnp.zeros(B, i32),
         n_mem_r1=jnp.zeros(B, i32),               # count after round 1
         r2i=jnp.zeros(B, i32),                    # round-2 source mem index
@@ -393,6 +413,7 @@ def collect_seeds_device(
         st["bwd_dead"] = jnp.zeros(B, i32)
         st["bwd_np1"] = jnp.zeros(B, i32)
         st["bwd_cols"] = jnp.zeros(B, i32)
+        st["sr_same"] = jnp.zeros(B, i32)  # fetch pair in one octo row
     # lanes with no bases never run
     st["phase"] = jnp.where(lens > 0, PH_PIVOT, PH_DONE)
 
@@ -634,16 +655,65 @@ def collect_seeds_device(
         else:
             in_r3j = jnp.zeros_like(in_fwd)
 
-        # rows-based fused extension (bit-identical to fmd_extend_back):
-        # the raw octo rows stay available for the multi-candidate
-        # decodes
-        both = jnp.concatenate([a, a + s_eff])
-        rows2, blk2, off2, mine2 = kfm.occ_rows_for(fm, both, shard_axis)
-        occ4b, rows12b = kfm.occ4_and_block(fm, rows2, blk2, off2, mine2,
-                                            shard_axis)
-        o1, o2 = occ4b[:nB], occ4b[nB:]
+        if "sr_same" in st:
+            # would the (a, a+s) fetch pair share one octo row? (the
+            # fetch-sharing lever: rows are the gather's cost unit)
+            jA_ = a - (a > fm.primary).astype(rdt)
+            jB_ = (a + s_eff) - ((a + s_eff) > fm.primary).astype(rdt)
+            live_ = st["phase"] != PH_DONE
+            st["sr_same"] = st["sr_same"] + (
+                live_ & ((jA_ >> 10) == (jB_ >> 10))).astype(i32)
+
+        if share:
+            # ---- shared single-row fetch (see the `share` note) ----
+            pend = st["pend2"]
+            jA = a - (a > fm.primary).astype(rdt)
+            posB = a + s_eff
+            jB = posB - (posB > fm.primary).astype(rdt)
+            same = (jA >> 10) == (jB >> 10)
+            qi_ok = qi < 4
+            # lanes that actually consume this step's extension result;
+            # non-consuming transitions (end-of-read, ambiguity, dead
+            # columns) never read occ4 and must not stall
+            consume = ((in_fwd & (i < L) & qi_ok)
+                       | (in_bwd & (i >= 0) & qi_ok)
+                       | (in_r3 & (i < L) & qi_ok))
+            stall = consume & ~same & ~pend
+            fetch_r = jnp.where(pend, posB, a)
+            rows1, blk1, off1, mine1 = kfm.occ_rows_for(fm, fetch_r, None)
+            oF = kfm.occ4_from_quad(fm, rows1, blk1, off1, mine1)
+            blkB = (jB >> kfm._LOG2_OCC_BLOCK)
+            offB = (jB & (kfm.OCC_BLOCK - 1)).astype(i32)
+            # second decode from the SAME fetched row (valid when the
+            # pair shares the octo row; garbage otherwise — masked by
+            # the stall gating below). r3-jump pairs are always
+            # same-row: blkA = base + 2*key is even, blkB = blkA + 1.
+            oS = kfm.occ4_from_quad(fm, rows1, blkB, offB, mine1)
+            o1 = jnp.where(pend[:, None], st["o1hold"], oF)
+            o2 = jnp.where(pend[:, None], oF, oS)
+            # stalled lanes apply nothing this iteration (state frozen;
+            # the second row arrives next step)
+            in_fwd = in_fwd & ~stall
+            in_bwd = in_bwd & ~stall
+            in_r3 = in_r3 & ~stall
+        else:
+            # rows-based fused extension (bit-identical to
+            # fmd_extend_back): the raw octo rows stay available for
+            # the multi-candidate decodes
+            both = jnp.concatenate([a, a + s_eff])
+            if quad_rows is not None:
+                rows2, blk2, off2, mine2 = kfm.occ_rows_for_q(
+                    fm, quad_rows, both, shard_axis)
+                occ4b, _rows12 = kfm.occ4_and_block_q(
+                    fm, rows2, blk2, off2, mine2, shard_axis)
+            else:
+                rows2, blk2, off2, mine2 = kfm.occ_rows_for(fm, both,
+                                                            shard_axis)
+                occ4b, _rows12 = kfm.occ4_and_block(fm, rows2, blk2, off2,
+                                                    mine2, shard_axis)
+            o1, o2 = occ4b[:nB], occ4b[nB:]
+            rowsA, blkA, offA = rows2[:nB], blk2[:nB], off2[:nB]
         k4, l4, s4 = kfm.fmd_extend_from_occ(fm, a, b, s_eff, o1, o2)
-        rowsA, blkA, offA = rows2[:nB], blk2[:nB], off2[:nB]
 
         c_raw = qi
         c_ext = jnp.where(in_bwd, c_raw, 3 - c_raw)
@@ -674,6 +744,9 @@ def collect_seeds_device(
                 sub_iv.append(civ)
 
         new = dict(st)
+        if share:
+            new["pend2"] = stall
+            new["o1hold"] = jnp.where(stall[:, None], oF, st["o1hold"])
 
         # ============== PH_R3J: decode the prefix row ==============
         if jump:
@@ -934,6 +1007,6 @@ def collect_seeds_device(
     out = dict(mems=mems5, n_mem=st["n_mem"], overflow=st["overflow"],
                iters=st["iters"], it_r1=st["it_r1"], it_r2=st["it_r2"])
     if DEBUG_CENSUS:
-        for k in ("ph_census", "bwd_dead", "bwd_np1", "bwd_cols"):
+        for k in ("ph_census", "bwd_dead", "bwd_np1", "bwd_cols", "sr_same"):
             out[k] = st[k]
     return out

@@ -56,6 +56,10 @@ def main():
     cols = np.asarray(out["bwd_cols"])[: rb.n]
     print(f"bwd: iters/read {census[:, 2].mean():.1f}  n_prev==1 iters "
           f"{np1.mean():.1f}  columns {cols.mean():.1f}")
+    if "sr_same" in out:
+        sr = np.asarray(out["sr_same"])[: rb.n]
+        print(f"fetch-pair same octo row: {sr.mean():.1f}/read "
+              f"({100 * sr.sum() / max(it.sum(), 1):.1f}% of iterations)")
     if "ff_events" in out:
         ev = np.asarray(out["ff_events"])[: rb.n]
         sk = np.asarray(out["ff_skip"])[: rb.n]
