@@ -8,15 +8,23 @@ is single-core bwa-mem minus per-call index rebuild).
 Measures the FULL BWA-MEM pipeline (SMEM seeding, chaining, banded-SW
 extension on device; dedup/MAPQ/CIGAR finalize on host) on an
 E. coli-scale synthetic index with 1%-mutated reads — BASELINE.md
-config 2 — plus a paired-end leg (same capture, columnar PE finalize).
+config 2 — plus a paired-end leg (same capture, ONE fused device
+dispatch per pair batch) and a chr20-scale paired-end leg
+(BASELINE.md config 3 class) so the driver ledger carries a
+human-chromosome-scale number.
 
 Noise defenses (the axon relay's throughput varies 2-3x run to run —
 BENCH_NOTES): every pass times each batch individually and scores the
-pass by its MEDIAN batch time (first-batch warmup and relay stalls do
-not pollute the number); passes repeat (up to BST_BENCH_PASSES, default
-5) until the two best agree within 10%, and the HEADLINE is the
-second-best pass — i.e. the best rate CONFIRMED by another pass. All
-per-pass rates ride in the JSON for auditability.
+pass by its MEDIAN batch time; passes repeat (up to BST_BENCH_PASSES)
+until the two best agree within 10%, and the HEADLINE is the
+second-best pass — the best rate CONFIRMED by another pass. Each pass
+additionally times a FIXED reference op (a dependent-gather chain, the
+pipeline's cost-dominant primitive): passes whose reference time is
+>1.5x the session best are LABELED degraded and excluded from the
+confirmed-rate selection while >= 2 healthy passes exist — "degraded
+tunnel window" is a measured annotation, not a narrative one
+(VERDICT r3 item 7). All per-pass rates + health times ride in the
+JSON for auditability.
 
 Uses a persistent compilation cache (.jax_cache) — the first-ever run
 pays one slow remote compile; later runs start in seconds. Timing
@@ -35,19 +43,82 @@ def _log(*a):
     print("[bench]", *a, file=sys.stderr, flush=True)
 
 
-def _confirmed(pass_rps: list[float]) -> float:
-    """Best rate confirmed by a second pass: the second-best value."""
-    return sorted(pass_rps)[-2] if len(pass_rps) > 1 else pass_rps[0]
+def _select(pass_rps: list[float], healthy: list[bool]):
+    """(confirmed_rate, converged, used_idx): the second-best rate among
+    healthy passes (all passes when fewer than two are healthy)."""
+    idx = [i for i, h in enumerate(healthy) if h]
+    if len(idx) < 2:
+        idx = list(range(len(pass_rps)))
+    sel = sorted(pass_rps[i] for i in idx)
+    if len(sel) < 2:
+        return sel[0], False, idx
+    conf = sel[-2]
+    return conf, sel[-1] <= 1.10 * sel[-2], idx
 
 
-def _converged(pass_rps: list[float]) -> bool:
-    if len(pass_rps) < 2:
-        return False
-    a, b = sorted(pass_rps)[-2:]
-    return b <= 1.10 * a
+def make_health(jax):
+    """A fixed reference op timed alongside every pass: a 50-step
+    dependent row-gather chain at the pipeline's hot shape. Its time
+    moves with the tunnel/device health, not with this repo's code."""
+    import jax.numpy as jnp
+
+    N = 16384
+    tab = jax.random.randint(jax.random.PRNGKey(0), (N, 128), 0, 1 << 20,
+                             jnp.int32)
+    idx0 = jax.random.randint(jax.random.PRNGKey(1), (N,), 0, N, jnp.int32)
+
+    @jax.jit
+    def chain(idx, tab):
+        def body(_, idx):
+            row = tab[idx]
+            return (idx * 48271 + row[:, 0] + 11) % N
+
+        return jax.lax.fori_loop(0, 50, body, idx).sum()
+
+    jax.device_get(chain(idx0, tab))  # compile+warm
+
+    def health() -> float:
+        t0 = time.time()
+        jax.device_get(chain(idx0, tab))
+        return (time.time() - t0) * 1e3
+
+    return health
 
 
-def bench_full(jax, idx, genome, batch_size=None, n_batches=6):
+def _run_passes(name, one_pass, rate_of, health, max_passes):
+    """Common pass loop: score each pass, track health, stop when the
+    two best healthy passes agree within 10%."""
+    pass_rps, pass_health, metas, last = [], [], [], None
+    for p in range(max_passes):
+        h = health() if health else 0.0
+        bt, last = one_pass()
+        med = statistics.median(bt)
+        pass_rps.append(rate_of(med))
+        pass_health.append(round(h, 1))
+        metas.append(dict(median_batch_s=round(med, 3),
+                          min_batch_s=round(min(bt), 3),
+                          max_batch_s=round(max(bt), 3),
+                          pass_s=round(sum(bt), 3), health_ms=round(h, 1)))
+        hmin = min(pass_health)
+        healthy = [x <= 1.5 * hmin for x in pass_health]
+        conf, converged, used = _select(pass_rps, healthy)
+        _log(f"{name} pass {p + 1}: median {med * 1e3:.0f} ms/batch = "
+             f"{rate_of(med):,.0f} reads/s  health {h:.1f} ms"
+             f"{'' if healthy[-1] else ' [degraded]'} "
+             f"(batches {' '.join(f'{t:.2f}' for t in bt)})")
+        if converged:
+            break
+    hmin = min(pass_health)
+    healthy = [x <= 1.5 * hmin for x in pass_health]
+    conf, converged, used = _select(pass_rps, healthy)
+    if not converged:
+        _log(f"WARNING: {name} passes never agreed within 10% "
+             f"({[round(r) for r in pass_rps]}); reporting the "
+             f"confirmed (second-best) rate among healthy passes")
+    return conf, pass_rps, pass_health, metas, last
+
+
+def bench_full(jax, idx, genome, batch_size=None, n_batches=6, health=None):
     if batch_size is None:
         batch_size = int(os.environ.get("BST_BENCH_BATCH", 16384))
     max_passes = int(os.environ.get("BST_BENCH_PASSES", 5))
@@ -96,26 +167,8 @@ def bench_full(jax, idx, genome, batch_size=None, n_batches=6):
             pending = nxt
         return bt, results
 
-    pass_rps, pass_meta = [], []
-    results = None
-    for p in range(max_passes):
-        bt, results = one_pass()
-        med = statistics.median(bt)
-        pass_rps.append(batch_size / med)
-        pass_meta.append(dict(median_batch_s=round(med, 3),
-                              min_batch_s=round(min(bt), 3),
-                              max_batch_s=round(max(bt), 3),
-                              pass_s=round(sum(bt), 3)))
-        _log(f"pass {p + 1}: median {med * 1e3:.0f} ms/batch = "
-             f"{batch_size / med:,.0f} reads/s "
-             f"(batches {' '.join(f'{t:.2f}' for t in bt)})")
-        if _converged(pass_rps):
-            break
-    rps = _confirmed(pass_rps)
-    if not _converged(pass_rps):
-        _log(f"WARNING: passes never agreed within 10% "
-             f"({[round(r) for r in pass_rps]}); reporting the "
-             f"confirmed (second-best) rate")
+    rps, pass_rps, pass_health, metas, results = _run_passes(
+        "SE", one_pass, lambda med: batch_size / med, health, max_passes)
 
     total = batch_size * n_batches
     ok = novf = 0
@@ -132,24 +185,26 @@ def bench_full(jax, idx, genome, batch_size=None, n_batches=6):
     assert ok >= 0.98 * total, "bench correctness check failed"
     return rps, dict(
         se_pass_rps=[round(r) for r in pass_rps],
-        se_passes=pass_meta,
+        se_pass_health_ms=pass_health,
+        se_passes=metas,
         truth=ok, total=total, overflow_reads=novf,
     ), al
 
 
-def bench_pe(jax, idx, genome, al, batch_size=None, n_batches=3):
-    """Paired-end leg: pairs/s through the columnar PE path (two device
-    batches + finalize_pairs_columns per pair batch). Reuses the SE
-    Aligner/compiled program; reported in READS/s (2 reads per pair)."""
+def bench_pe(jax, idx, genome, al, batch_size=None, n_batches=3, health=None):
+    """Paired-end leg through the FUSED pair dispatch: both mates of a
+    pair batch run as ONE compiled device program at the same total row
+    count as an SE batch (pairs = batch_size/2), finalized by the
+    columnar PE path. Reported in READS/s (2 reads per pair)."""
     if batch_size is None:
         batch_size = int(os.environ.get("BST_BENCH_BATCH", 16384))
-    max_passes = int(os.environ.get("BST_BENCH_PE_PASSES", 3))
+    max_passes = int(os.environ.get("BST_BENCH_PE_PASSES", 4))
 
     from bioseqdb_tpu.align.paired import finalize_pairs_columns
     from bioseqdb_tpu.io.batch import pack_reads
     from bioseqdb_tpu.utils.sim import simulate_pairs
 
-    PB = batch_size
+    PB = batch_size // 2  # pairs per batch -> batch_size device rows
     psims, pbatches = [], []
     for k in range(n_batches):
         sr1, sr2, _ = simulate_pairs(genome, PB, read_len=150, sub_rate=0.01,
@@ -159,8 +214,7 @@ def bench_pe(jax, idx, genome, al, batch_size=None, n_batches=3):
         pbatches.append((pack_reads(sr1.reads, sr1.names),
                          pack_reads(sr2.reads, sr2.names)))
 
-    dev = lambda k: (al.device_regions(pbatches[k][0]),
-                     al.device_regions(pbatches[k][1]))
+    dev = lambda k: al.device_regions_pair(*pbatches[k])
     w1, w2 = dev(0)
     finalize_pairs_columns(idx, al.options, pbatches[0][0],
                            jax.device_get(w1), pbatches[0][1],
@@ -183,17 +237,8 @@ def bench_pe(jax, idx, genome, al, batch_size=None, n_batches=3):
             pending = nxt
         return bt, cols1
 
-    pass_rps = []
-    cols1 = None
-    for p in range(max_passes):
-        bt, cols1 = one_pass()
-        med = statistics.median(bt)
-        pass_rps.append(2 * PB / med)
-        _log(f"PE pass {p + 1}: median {med * 1e3:.0f} ms/pair-batch = "
-             f"{2 * PB / med:,.0f} reads/s")
-        if _converged(pass_rps):
-            break
-    rps = _confirmed(pass_rps)
+    rps, pass_rps, pass_health, metas, cols1 = _run_passes(
+        "PE", one_pass, lambda med: 2 * PB / med, health, max_passes)
 
     okp = proper = 0
     for c1, sr1 in zip(cols1, psims):
@@ -203,8 +248,83 @@ def bench_pe(jax, idx, genome, al, batch_size=None, n_batches=3):
     _log(f"PE truth (R1): {okp}/{totp}; proper {100 * proper / totp:.1f}%")
     assert okp >= 0.95 * totp, "PE bench correctness check failed"
     return rps, dict(pe_pass_rps=[round(r) for r in pass_rps],
+                     pe_pass_health_ms=pass_health, pe_passes=metas,
                      pe_truth=okp, pe_total_pairs=totp,
                      pe_proper_pct=round(100 * proper / totp, 1))
+
+
+def bench_chr20(jax, batch_size=None, n_batches=2, health=None):
+    """Human-chromosome-scale PE leg (BASELINE.md config 3 class):
+    chr20-sized synthetic genome (64 Mb), paired-end reads through the
+    fused dispatch. Smaller pass budget — the number's job is to put a
+    human-scale figure in the driver ledger, not to be the headline."""
+    if batch_size is None:
+        batch_size = int(os.environ.get("BST_BENCH_BATCH", 16384))
+    max_passes = int(os.environ.get("BST_BENCH_CHR20_PASSES", 3))
+
+    from bioseqdb_tpu.align.options import AlignOptions
+    from bioseqdb_tpu.align.paired import finalize_pairs_columns
+    from bioseqdb_tpu.align.pipeline import Aligner
+    from bioseqdb_tpu.index.builder import build_index
+    from bioseqdb_tpu.io.batch import pack_reads
+    from bioseqdb_tpu.utils.sim import simulate_genome, simulate_pairs
+
+    t0 = time.time()
+    genome = simulate_genome(64_000_000, seed=20)
+    idx = build_index([("chr20", genome)])
+    _log(f"chr20-scale index built in {time.time() - t0:.1f}s")
+    al = Aligner.build(idx, AlignOptions(), mode="full")
+
+    PB = batch_size // 2
+    psims, pbatches = [], []
+    for k in range(n_batches):
+        sr1, sr2, _ = simulate_pairs(genome, PB, read_len=150, sub_rate=0.01,
+                                     insert_mean=400, insert_std=40,
+                                     seed=900 + k)
+        psims.append(sr1)
+        pbatches.append((pack_reads(sr1.reads, sr1.names),
+                         pack_reads(sr2.reads, sr2.names)))
+
+    dev = lambda k: al.device_regions_pair(*pbatches[k])
+    t0 = time.time()
+    w1, w2 = dev(0)
+    finalize_pairs_columns(idx, al.options, pbatches[0][0],
+                           jax.device_get(w1), pbatches[0][1],
+                           jax.device_get(w2))
+    _log(f"chr20 compile+first pair batch: {time.time() - t0:.1f}s")
+
+    def one_pass():
+        bt, cols1 = [], []
+        t0 = time.time()
+        pending = dev(0)
+        for k in range(n_batches):
+            nxt = dev(k + 1) if k + 1 < n_batches else None
+            o1 = jax.device_get(pending[0])
+            o2 = jax.device_get(pending[1])
+            c1, _c2 = finalize_pairs_columns(
+                idx, al.options, pbatches[k][0], o1, pbatches[k][1], o2)
+            cols1.append(c1)
+            t1 = time.time()
+            bt.append(t1 - t0)
+            t0 = t1
+            pending = nxt
+        return bt, cols1
+
+    rps, pass_rps, pass_health, metas, cols1 = _run_passes(
+        "chr20", one_pass, lambda med: 2 * PB / med, health, max_passes)
+
+    okp = proper = 0
+    for c1, sr1 in zip(cols1, psims):
+        okp += int((c1.mapped[:PB] & (c1.pos[:PB] == sr1.positions)).sum())
+        proper += int((c1.pe_flag[:PB] & 0x2 > 0).sum())
+    totp = PB * n_batches
+    _log(f"chr20 PE truth (R1): {okp}/{totp}; "
+         f"proper {100 * proper / totp:.1f}%")
+    assert okp >= 0.95 * totp, "chr20 bench correctness check failed"
+    return rps, dict(chr20_pe_pass_rps=[round(r) for r in pass_rps],
+                     chr20_pe_pass_health_ms=pass_health,
+                     chr20_pe_truth=okp, chr20_pe_total_pairs=totp,
+                     chr20_pe_proper_pct=round(100 * proper / totp, 1))
 
 
 def bench_exact(jax, idx, genome, batch=16384, iters=5):
@@ -251,26 +371,35 @@ def main() -> int:
 
     stats = {}
     try:
-        rps, stats, al = bench_full(jax, idx, genome)
+        health = make_health(jax)
+        rps, stats, al = bench_full(jax, idx, genome, health=health)
         metric = ("150bp reads/s/chip, full BWA-MEM pipeline "
                   "(1% mutated reads, E.coli-scale index)")
         try:
-            pe_rps, pe_stats = bench_pe(jax, idx, genome, al)
+            pe_rps, pe_stats = bench_pe(jax, idx, genome, al, health=health)
             stats.update(pe_stats)
             stats["pe_reads_s"] = round(pe_rps)
             stats["pe_se_ratio"] = round(pe_rps / rps, 3)
         except Exception as e:  # PE leg must not cost the SE number
             _log(f"PE leg failed ({type(e).__name__}: {e}); "
                  "SE result stands alone")
+        if os.environ.get("BST_BENCH_NO_CHR20") != "1":
+            try:
+                c_rps, c_stats = bench_chr20(jax, health=health)
+                stats.update(c_stats)
+                stats["chr20_pe_reads_s"] = round(c_rps)
+            except Exception as e:  # chr20 leg must not cost the headline
+                _log(f"chr20 leg failed ({type(e).__name__}: {e})")
     except Exception as e:  # compile budget / tunnel flakes: keep a result
         _log(f"full-pipeline bench failed ({type(e).__name__}: {e}); "
              "falling back to exact-match path")
         rps = bench_exact(jax, idx, genome)
         metric = "150bp exact-match reads/s/chip (E.coli-scale index)"
 
-    # per-pass rates + overflow ride along so the round-over-round perf
-    # signal is auditable (VERDICT r2 item 4: the headline is the
-    # median-batch rate confirmed by a second pass, not min-of-two)
+    # per-pass rates + health + overflow ride along so the
+    # round-over-round perf signal is auditable (the headline is the
+    # median-batch rate confirmed by a second pass, degraded-health
+    # passes excluded — VERDICT r3 items 4 and 7)
     print(json.dumps({
         "metric": metric,
         "value": round(rps),

@@ -17,6 +17,7 @@ extension land on top of the same step structure (SURVEY.md §7 stages
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 
 import jax
@@ -217,6 +218,30 @@ _STEP_STATICS = (
 
 
 @functools.partial(jax.jit, static_argnames=_STEP_STATICS)
+def _pair_align_step_jit(fm, pac_dev, codes, lens, mat,
+                         pack_cap: int = 0, pack_narrow: bool = False, **kw):
+    """Fused paired-end step: BOTH mates ride ONE compiled program.
+
+    ``codes`` is the row-concatenation [mates1; mates2] (2B rows). The
+    device pipeline runs once at 2B, then the two halves pack
+    separately so the host sees the same two per-mate dicts the
+    unfused path produced. One dispatch per pair batch instead of two
+    (VERDICT r3 item 2: the split-dispatch PE leg paid ~1.8x per
+    read through the relay's per-dispatch cost)."""
+    out = full_align_step(fm, pac_dev, codes, lens, mat, **kw)
+    B = codes.shape[0] // 2
+
+    def half(lo):
+        sl = lambda v: v[lo : lo + B]
+        h = {k: ({kk: sl(vv) for kk, vv in v.items()} if isinstance(v, dict)
+                 else sl(v))
+             for k, v in out.items()}
+        return _pack_out(h, pack_cap, pack_narrow) if pack_cap else h
+
+    return half(0), half(B)
+
+
+@functools.partial(jax.jit, static_argnames=_STEP_STATICS)
 def _full_align_step_jit(fm, pac_dev, codes, lens, mat,
                          pack_cap: int = 0, pack_narrow: bool = False, **kw):
     """full_align_step + output packing as ONE compiled program.
@@ -282,8 +307,6 @@ class Aligner:
         fm = kfm.FMDevice.from_host(index, device=device)
         table = None
         if mode == "full":
-            import os
-
             from bioseqdb_tpu.kernels.extend import pack_doubled_rows
             from bioseqdb_tpu.kernels.seed import build_seed_table
 
@@ -366,7 +389,6 @@ class Aligner:
         mat = jnp.asarray(
             fill_scmat(opt.match_score, opt.mismatch_penalty).astype(np.int32)
         )
-        split_len = int(opt.min_seed_len * opt.reseed_factor + 0.499)
         codes, lens = self._put_batch(batch)
         if self.fms is not None:
             from bioseqdb_tpu.dist.shard_index import full_align_step_sharded
@@ -381,9 +403,23 @@ class Aligner:
         if pack is None:
             pack = not keep_mems
         W = int(codes.shape[1])
+        common, narrow = self._step_kwargs(W, keep_mems)
+        cap = 2 * int(codes.shape[0]) if pack else 0
+        if os.environ.get("BST_NO_ONEJIT") == "1":
+            out = full_align_step(self.fm, self.pac_dev, codes, lens, mat,
+                                  **common)
+            return _pack_out_jit(out, cap=cap, narrow=narrow) if pack else out
+        return _full_align_step_jit(self.fm, self.pac_dev, codes, lens, mat,
+                                    pack_cap=cap, pack_narrow=narrow,
+                                    **common)
+
+    def _step_kwargs(self, W: int, keep_mems: bool = False):
+        """The static device-step kwargs shared by the SE and fused-PE
+        entry points; returns (common, narrow)."""
+        opt = self.options
+        split_len = int(opt.min_seed_len * opt.reseed_factor + 0.499)
         narrow = (W * max(int(opt.match_score), 1) < 30000
                   and int(opt.bandwidth) * 16 < 30000 and W < 30000)
-        cap = 2 * int(codes.shape[0]) if pack else 0
         common = dict(
             min_seed_len=opt.min_seed_len, split_len=split_len,
             split_width=opt.split_width, max_mem_intv=opt.max_mem_intv,
@@ -414,8 +450,6 @@ class Aligner:
             use_pallas_sw=(jax.devices()[0].platform != "cpu"
                            and not jax.config.jax_enable_x64),
         )
-        import os
-
         # env-var tunables become STATIC jit args here, in non-traced
         # code, so toggling them mid-process retraces instead of being
         # silently ignored (ADVICE round 2). Defaults and the measured
@@ -425,13 +459,37 @@ class Aligner:
             kcand=int(os.environ.get("BST_KCAND", "1")),
             sw_sort=os.environ.get("BST_SW_SORT", "1") != "0",
         )
-        if os.environ.get("BST_NO_ONEJIT") == "1":
-            out = full_align_step(self.fm, self.pac_dev, codes, lens, mat,
-                                  **common)
-            return _pack_out_jit(out, cap=cap, narrow=narrow) if pack else out
-        return _full_align_step_jit(self.fm, self.pac_dev, codes, lens, mat,
-                                    pack_cap=cap, pack_narrow=narrow,
-                                    **common)
+        return common, narrow
+
+    def device_regions_pair(self, batch1: ReadBatch, batch2: ReadBatch):
+        """Run BOTH mates of a pair batch through ONE device dispatch
+        (_pair_align_step_jit): mates concatenate row-wise (padded to a
+        common width), the pipeline runs once at 2B, and the halves
+        pack separately. Returns (out1, out2) shaped exactly like two
+        ``device_regions`` results. Falls back to two dispatches under
+        an index-sharded mesh (the shard_map path has its own batch
+        plumbing)."""
+        if self.fms is not None or self.mesh is not None:
+            return (self.device_regions(batch1), self.device_regions(batch2))
+        from bioseqdb_tpu.cpu.ksw import fill_scmat
+
+        opt = self.options
+        mat = jnp.asarray(
+            fill_scmat(opt.match_score, opt.mismatch_penalty).astype(np.int32)
+        )
+        c1, c2 = np.asarray(batch1.codes), np.asarray(batch2.codes)
+        W = max(c1.shape[1], c2.shape[1])
+        B = c1.shape[0]
+        padW = lambda c: np.concatenate(
+            [c, np.full((c.shape[0], W - c.shape[1]), 4, c.dtype)], axis=1
+        ) if c.shape[1] < W else c
+        codes = np.concatenate([padW(c1), padW(c2)]).astype(np.uint8)
+        lens = np.concatenate([batch1.lens, batch2.lens]).astype(np.int32)
+        common, narrow = self._step_kwargs(W)
+        cap = 2 * B  # per-mate pack cap (matches device_regions)
+        return _pair_align_step_jit(
+            self.fm, self.pac_dev, jnp.asarray(codes), jnp.asarray(lens),
+            mat, pack_cap=cap, pack_narrow=narrow, **common)
 
     def _align_full(self, batch: ReadBatch, with_query_ids: bool) -> list[ReadResult]:
         # long reads (>= ~900 bp: mem_flt_chained_seeds territory) run
@@ -453,8 +511,8 @@ class Aligner:
             raise ValueError("paired-end alignment requires mode='full'")
         from bioseqdb_tpu.align.paired import finalize_pairs
 
-        out1 = jax.device_get(self.device_regions(batch1))
-        out2 = jax.device_get(self.device_regions(batch2))
+        o1, o2 = self.device_regions_pair(batch1, batch2)
+        out1, out2 = jax.device_get(o1), jax.device_get(o2)
         return finalize_pairs(
             self.index, self.options, batch1, out1, batch2, out2
         )
@@ -468,8 +526,8 @@ class Aligner:
             raise ValueError("paired-end alignment requires mode='full'")
         from bioseqdb_tpu.align.paired import finalize_pairs_columns
 
-        out1 = jax.device_get(self.device_regions(batch1))
-        out2 = jax.device_get(self.device_regions(batch2))
+        o1, o2 = self.device_regions_pair(batch1, batch2)
+        out1, out2 = jax.device_get(o1), jax.device_get(o2)
         return finalize_pairs_columns(
             self.index, self.options, batch1, out1, batch2, out2
         )

@@ -319,3 +319,27 @@ def test_columns_pe_equal(setup):
         diff = "\n".join(difflib.unified_diff(
             want.splitlines(), got.splitlines(), lineterm="", n=1))
         raise AssertionError(diff[:4000])
+
+
+def test_fused_pair_dispatch_equals_separate(setup):
+    # the fused one-dispatch PE step (device_regions_pair) must return
+    # exactly the two dicts the separate per-mate dispatches produce
+    import jax
+
+    g, idx, r1, r2, inserts = setup
+    al = Aligner.build(idx, AlignOptions(), mode="full")
+    b1 = pack_reads(r1.reads, r1.names)
+    b2 = pack_reads(r2.reads, r2.names)
+    f1, f2 = al.device_regions_pair(b1, b2)
+    s1 = al.device_regions(b1)
+    s2 = al.device_regions(b2)
+    for fused, sep in ((f1, s1), (f2, s2)):
+        fused, sep = jax.device_get(fused), jax.device_get(sep)
+        assert set(fused) == set(sep)
+        for k in sep:
+            if isinstance(sep[k], dict):
+                for kk in sep[k]:
+                    assert (np.asarray(fused[k][kk])
+                            == np.asarray(sep[k][kk])).all(), (k, kk)
+            else:
+                assert (np.asarray(fused[k]) == np.asarray(sep[k])).all(), k
