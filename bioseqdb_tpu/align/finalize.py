@@ -123,7 +123,25 @@ def aln_to_hit(
         # p->secondary >= 0, else max(sub, csub) — reg2aln fills it)
         sub=aln.sub if reg.secondary < 0 else -1,
         rid=aln.rid,
+        is_alt=bool(idx.ref_is_alt[aln.rid]) if len(idx.ref_is_alt) else False,
     )
+
+
+def add_sa_tags(hits: list[Hit]) -> None:
+    """SA:Z on every primary part of a split read (bwa mem_aln2sam:
+    when other non-secondary hits exist, each non-secondary record
+    lists the others as "rname,pos,strand,cigar,mapq,nm;" — the CIGAR
+    in its stored soft-clip form). No-op unless >= 2 primary parts."""
+    parts = [h for h in hits if not h.is_secondary]
+    if len(parts) < 2:
+        return
+    ent = [
+        f"{h.ref_name},{h.ref_begin + 1},{'-' if h.is_reverse else '+'},"
+        f"{h.cigar},{h.mapq},{h.nm};"
+        for h in parts
+    ]
+    for k, h in enumerate(parts):
+        h.sa = "".join(e for j, e in enumerate(ent) if j != k)
 
 
 def finalize_read(
@@ -179,6 +197,7 @@ def emit_read_hits(
             if seen_primary:
                 h.is_supplementary = True
             seen_primary = True
+    add_sa_tags(hits)
     res = ReadResult(query_name=name, hits=hits)
     if xa and hits and len(xa) <= opt.max_xa_hits:
         hits[0].xa = ";".join(xa) + ";"

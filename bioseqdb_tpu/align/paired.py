@@ -27,7 +27,8 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from bioseqdb_tpu.align.finalize import aln_to_hit, frac_rep_of, regions_to_alnregs
+from bioseqdb_tpu.align.finalize import (add_sa_tags, aln_to_hit,
+                                         frac_rep_of, regions_to_alnregs)
 from bioseqdb_tpu.align.options import AlignOptions
 from bioseqdb_tpu.align.result import Hit, ReadResult
 from bioseqdb_tpu.cpu import oracle as O
@@ -574,14 +575,27 @@ def _pair_one(idx, opt, mat, pes, name, q1, regs1, q2, regs2):
                 z = [i1, i2]
                 paired = True
     ends = []
+    supps: list[list[Hit]] = []
     for r, (q, regs) in enumerate(((q1, regs1), (q2, regs2))):
+        sup: list[Hit] = []
         if regs:
             reg = regs[z[r]]
             aln = O.reg2aln(idx, opt, q, reg, mat)
             hit = aln_to_hit(idx, aln, reg, name, None)
             ends.append(hit)
+            # other primary parts of a split read ride as supplementary
+            # records (bwa mem_sam_pe: non-secondary regs besides the
+            # paired one get flag 0x800)
+            for k, rg_ in enumerate(regs):
+                if k == z[r] or rg_.secondary >= 0 or rg_.score < opt.min_score:
+                    continue
+                a2 = O.reg2aln(idx, opt, q, rg_, mat)
+                h2 = aln_to_hit(idx, a2, rg_, name, None)
+                h2.is_supplementary = True
+                sup.append(h2)
         else:
             ends.append(None)
+        supps.append(sup)
 
     if paired:
         # PE MAPQ uplift (published mem_sam_pe rule)
@@ -600,10 +614,18 @@ def _pair_one(idx, opt, mat, pes, name, q1, regs1, q2, regs2):
             hit.mapq = q_se if q_se > q_pe else min(q_pe, q_se + 40)
 
     h1, h2 = ends
-    res1 = ReadResult(query_name=name, hits=[h1] if h1 else [])
-    res2 = ReadResult(query_name=name, hits=[h2] if h2 else [])
+    hits1 = ([h1] if h1 else []) + supps[0]
+    hits2 = ([h2] if h2 else []) + supps[1]
+    add_sa_tags(hits1)
+    add_sa_tags(hits2)
+    res1 = ReadResult(query_name=name, hits=hits1)
+    res2 = ReadResult(query_name=name, hits=hits2)
     res1.pe = _pe_info(h1, h2, True, paired)   # type: ignore[attr-defined]
     res2.pe = _pe_info(h2, h1, False, paired)  # type: ignore[attr-defined]
+    for h in supps[0]:
+        h.pe = _pe_info(h, h2, True, paired)
+    for h in supps[1]:
+        h.pe = _pe_info(h, h1, False, paired)
     return res1, res2
 
 

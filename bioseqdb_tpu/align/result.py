@@ -36,6 +36,13 @@ class Hit:
     xa: str = ""         # SAM XA tag payload (alternate hits), "" = none
     is_supplementary: bool = False  # SAM 0x800: non-first primary part of a
                                     # chimeric read (mem_reg2sam rule)
+    sa: str = ""         # SAM SA tag payload: the OTHER primary parts of a
+                         # split read, "rname,pos,strand,cigar,mapq,nm;"
+                         # each (bwa mem_aln2sam rule; "" = not chimeric)
+    is_alt: bool = False  # hit lies on an ALT contig (keeps soft clips on
+                          # supplementary records, like bwa)
+    pe: object = None    # PEInfo for non-primary PE records (the primary's
+                         # rides on ReadResult.pe); None otherwise
 
     @property
     def ref_match_len(self) -> int:

@@ -64,8 +64,9 @@ def rg_id(read_group: str | None) -> str | None:
 
 
 def _tail_tags(hit: Hit, rg: str | None) -> list[str]:
-    """Optional tags in bwa's mem_aln2sam order: NM, MD, AS, XS, RG, XA
-    (reference behavior source: mem_reg2aln consumed at bwa.cpp:158)."""
+    """Optional tags in bwa's mem_aln2sam order: NM, MD, AS, XS, RG,
+    SA, XA (reference behavior source: mem_reg2aln consumed at
+    bwa.cpp:158)."""
     fields = [f"NM:i:{getattr(hit, 'nm', 0)}"]
     if getattr(hit, "md", ""):
         fields.append(f"MD:Z:{hit.md}")
@@ -74,9 +75,43 @@ def _tail_tags(hit: Hit, rg: str | None) -> list[str]:
         fields.append(f"XS:i:{hit.sub}")
     if rg:
         fields.append(f"RG:Z:{rg}")
+    if getattr(hit, "sa", ""):
+        fields.append(f"SA:Z:{hit.sa}")
     if getattr(hit, "xa", ""):
         fields.append(f"XA:Z:{hit.xa}")
     return fields
+
+
+def _clip_lens(cigar: str) -> tuple[int, int]:
+    """(leading, trailing) soft-clip lengths of a CIGAR string."""
+    lead = trail = 0
+    i = 0
+    while i < len(cigar) and cigar[i].isdigit():
+        i += 1
+    if i < len(cigar) and cigar[i] == "S":
+        lead = int(cigar[:i])
+    if cigar.endswith("S"):
+        j = len(cigar) - 2
+        while j >= 0 and cigar[j].isdigit():
+            j -= 1
+        trail = int(cigar[j + 1 : -1])
+    return lead, trail
+
+
+def hard_clip(hit: Hit, out_seq: str, out_qual: str) -> tuple[str, str, str]:
+    """bwa mem_aln2sam's supplementary-record convention: clip ops
+    render as H instead of S and SEQ/QUAL are trimmed to the aligned
+    span (skipped for ALT-contig hits, which stay soft-clipped).
+    Returns (cigar, seq, qual) as they should print."""
+    if not getattr(hit, "is_supplementary", False) or getattr(
+            hit, "is_alt", False):
+        return hit.cigar, out_seq, out_qual
+    lead, trail = _clip_lens(hit.cigar)
+    if lead or trail:
+        out_seq = out_seq[lead : len(out_seq) - trail]
+        if out_qual != "*":
+            out_qual = out_qual[lead : len(out_qual) - trail]
+    return hit.cigar.replace("S", "H"), out_seq, out_qual
 
 
 def sam_record(result: ReadResult, hit: Hit | None, seq: str,
@@ -91,6 +126,7 @@ def sam_record(result: ReadResult, hit: Hit | None, seq: str,
     flag = hit_flag(hit)
     out_seq = revcomp(seq) if hit.is_reverse else seq
     out_qual = qual if qual == "*" else (qual[::-1] if hit.is_reverse else qual)
+    cigar, out_seq, out_qual = hard_clip(hit, out_seq, out_qual)
     if hit.is_secondary:
         out_seq, out_qual = "*", "*"
     fields = [
@@ -99,7 +135,7 @@ def sam_record(result: ReadResult, hit: Hit | None, seq: str,
         hit.ref_name,
         str(hit.ref_begin + 1),  # SAM POS is 1-based
         str(hit.mapq),
-        hit.cigar,
+        cigar,
         "*", "0", "0",
         out_seq,
         out_qual,
@@ -108,15 +144,18 @@ def sam_record(result: ReadResult, hit: Hit | None, seq: str,
 
 
 def sam_record_pe(result: ReadResult, seq: str, qual: str | None = None,
-                  rg: str | None = None) -> str:
+                  rg: str | None = None, hit: Hit | None = None,
+                  pe=None) -> str:
     """One SAM line for a paired end (result.pe carries mate info).
 
     Carries the same optional-tag set as the single-end record — bwa
-    emits NM/MD/AS/XS (and RG/XA) on paired records too (mem_reg2aln
-    consumed at bwa.cpp:158; VERDICT r2 item 5)."""
-    pe = result.pe
+    emits NM/MD/AS/XS (and RG/SA/XA) on paired records too (mem_reg2aln
+    consumed at bwa.cpp:158; VERDICT r2 item 5). ``hit``/``pe``
+    override the default primary record — supplementary parts of a
+    split read pass themselves with their own PEInfo."""
+    pe = pe if pe is not None else result.pe
     qual = qual or "*"
-    hit = result.primary
+    hit = hit if hit is not None else result.primary
     if hit is None:
         rnext = pe.rnext if pe else "*"
         pnext = (pe.pnext + 1) if pe and pe.rnext != "*" else 0
@@ -128,13 +167,14 @@ def sam_record_pe(result: ReadResult, seq: str, qual: str | None = None,
     flag = hit_flag(hit) | (pe.flag_extra if pe else 0)
     out_seq = revcomp(seq) if hit.is_reverse else seq
     out_qual = qual if qual == "*" else (qual[::-1] if hit.is_reverse else qual)
+    cigar, out_seq, out_qual = hard_clip(hit, out_seq, out_qual)
     return "\t".join([
         result.query_name,
         str(flag),
         hit.ref_name,
         str(hit.ref_begin + 1),
         str(hit.mapq),
-        hit.cigar,
+        cigar,
         pe.rnext if pe else "*",
         str(pe.pnext + 1) if pe and pe.rnext != "*" else "0",
         str(pe.tlen) if pe else "0",
@@ -153,9 +193,22 @@ def emit_sam_pairs(pair_results, index: FMIndex, seqs1, seqs2,
     for i, (r1, r2) in enumerate(pair_results):
         q1 = quals1[i] if quals1 else None
         q2 = quals2[i] if quals2 else None
-        out.append(sam_record_pe(r1, seqs1[i], q1, rg) + "\n")
-        out.append(sam_record_pe(r2, seqs2[i], q2, rg) + "\n")
+        out.append(_pe_records(r1, seqs1[i], q1, rg))
+        out.append(_pe_records(r2, seqs2[i], q2, rg))
     return "".join(out)
+
+
+def _pe_records(res: ReadResult, seq: str, qual: str | None,
+                rg: str | None) -> str:
+    """All SAM lines for one paired end: the primary record, then any
+    supplementary parts of a split read (each with its own PEInfo,
+    attached by align.paired._pair_one)."""
+    lines = [sam_record_pe(res, seq, qual, rg) + "\n"]
+    for h in res.hits[1:]:
+        if getattr(h, "is_supplementary", False):
+            lines.append(sam_record_pe(res, seq, qual, rg, hit=h, pe=h.pe)
+                         + "\n")
+    return "".join(lines)
 
 
 def emit_sam(results: Iterable[ReadResult], index: FMIndex, seqs: list[str],
@@ -218,7 +271,7 @@ def emit_sam_pair_columns(cols1, cols2, index: FMIndex, batch1, batch2,
                        bytes(p["codes"][i, : p["lens"][i]])
                        .translate(_FWD_TR).decode())
                 q = p["quals"][i] if p["quals"] else None
-                out.append(sam_record_pe(res, seq, q, rg) + "\n")
+                out.append(_pe_records(res, seq, q, rg))
                 continue
             q = p["quals"][i] if p["quals"] else "*"
             flag = int(p["pe_flag"][i]) | (16 if p["is_rev"][i] else 0)

@@ -168,6 +168,31 @@ def test_chimeric_supplementary_flags(setup):
     flags = [int(l.split("\t")[1]) for l in sam.strip().split("\n")]
     assert sum(1 for f in flags if f & 0x800) == 1
 
+    # SA:Z on every primary part, each listing the OTHER part with its
+    # soft-clip CIGAR (bwa mem_aln2sam; VERDICT r3 item 4)
+    assert prims[0].sa and prims[1].sa
+    f0 = prims[0].sa.rstrip(";").split(",")
+    assert f0[0] == prims[1].ref_name
+    assert int(f0[1]) == prims[1].ref_begin + 1
+    assert f0[2] == ("-" if prims[1].is_reverse else "+")
+    assert f0[3] == prims[1].cigar and "H" not in f0[3]
+    assert int(f0[4]) == prims[1].mapq and int(f0[5]) == prims[1].nm
+    assert prims[1].sa.split(",")[3] == prims[0].cigar
+
+    # the supplementary record hard-clips: H in CIGAR, SEQ trimmed to
+    # the aligned span; the primary record keeps soft clips + full SEQ
+    lines = [l.split("\t") for l in sam.strip().split("\n")]
+    supp = next(l for l in lines if int(l[1]) & 0x800)
+    prim = next(l for l in lines if not int(l[1]) & 0x900)
+    assert "H" in supp[5] and "S" not in supp[5]
+    assert len(supp[9]) < len(read) and len(supp[9]) >= 50
+    assert "H" not in prim[5] and len(prim[9]) == len(read)
+    assert any(t.startswith("SA:Z:") for t in supp[11:])
+    assert any(t.startswith("SA:Z:") for t in prim[11:])
+    # tag order: SA after RG-position, before XA (bwa mem_aln2sam)
+    tags = [t.split(":")[0] for t in prim[11:]]
+    assert tags.index("SA") > tags.index("AS")
+
 
 def test_long_reads_300bp(setup):
     # extension buffers adapt to batch width; 300bp reads (beyond the

@@ -343,3 +343,41 @@ def test_fused_pair_dispatch_equals_separate(setup):
                             == np.asarray(sep[k][kk])).all(), (k, kk)
             else:
                 assert (np.asarray(fused[k]) == np.asarray(sep[k])).all(), k
+
+
+def test_pe_chimeric_supplementary(setup):
+    # a split R1 (two halves from far-apart loci) in a pair: the PE
+    # path must emit the other primary part as a supplementary record
+    # with 0x800 | PE flags, hard clips, and SA:Z on both parts
+    # (VERDICT r3 item 4; bwa mem_sam_pe behavior)
+    g, idx, r1, r2, inserts = setup
+    from bioseqdb_tpu.sam.emit import revcomp
+
+    al = Aligner.build(idx, AlignOptions(), mode="full")
+    n = 16
+    reads1 = list(r1.reads[:n])
+    reads2 = list(r2.reads[:n])
+    reads1[3] = g[5000:5075] + g[40000:40075]   # split read
+    b1 = pack_reads(reads1, [f"p{i}" for i in range(n)])
+    b2 = pack_reads(reads2, [f"p{i}" for i in range(n)])
+    pairs = al.align_pairs(b1, b2)
+    res1, res2 = pairs[3]
+    prims = [h for h in res1.hits if not h.is_secondary]
+    assert len(prims) == 2
+    assert prims[1].is_supplementary and not prims[0].is_supplementary
+    assert prims[0].sa and prims[1].sa
+    assert prims[1].pe is not None  # its own PEInfo for emission
+
+    sam = emit_sam_pairs(pairs, idx, reads1, reads2, header=False)
+    lines = [l.split("\t") for l in sam.strip().split("\n")
+             if l.split("\t")[0] == "p3"]
+    assert len(lines) == 3  # R1 primary + R1 supplementary + R2
+    supp = next(l for l in lines if int(l[1]) & 0x800)
+    flag = int(supp[1])
+    assert flag & 0x1 and flag & 0x40       # paired, first-in-pair
+    assert "H" in supp[5] and "S" not in supp[5]
+    assert len(supp[9]) < len(reads1[3])
+    assert any(t.startswith("SA:Z:") for t in supp[11:])
+    prim = next(l for l in lines if int(l[1]) & 0x40 and not int(l[1]) & 0x800)
+    assert any(t.startswith("SA:Z:") for t in prim[11:])
+    assert len(prim[9]) == len(reads1[3])
