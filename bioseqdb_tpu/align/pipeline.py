@@ -360,11 +360,15 @@ class Aligner:
                     with_query_ids: bool = True) -> list[ReadResult]:
         """Align a packed batch; returns per-read results.
 
-        mode="exact" is a fast path with APPROXIMATE record fields:
-        MAPQ is 60-if-unique-else-0 (not the bwa formula), and NM/MD
-        are not computed (exact matches have NM=0 by construction but
-        no MD string). mode="full" (the default) produces the complete
-        BWA-MEM-semantics records."""
+        mode="exact" only reports full-length exact matches (reads with
+        any mismatch/indel/clip come back unmapped — use mode="full"
+        for BWA-MEM semantics), but its records are FIELD-COMPLETE for
+        what it reports: CIGAR/NM/MD/AS by construction, and MAPQ/XS
+        as the bwa formula's exact outcome for a full-length exact
+        match (60-or-0 / repeat-score-or-0 — see _to_results). The one
+        residual deviation: XS:i:0 on a unique exact hit even when an
+        INEXACT near-best alignment exists that full mode would report
+        as the sub-optimal score."""
         if self.mode == "exact":
             if max_hits is None:
                 max_hits = min(self.options.resolve_max_occ(self.index.n_refs), 64)
@@ -560,9 +564,20 @@ class Aligner:
                         is_reverse=bool(out["rev"][i, j]),
                         cigar=f"{L}M",
                         score=m * L,
-                        # exact mode: unique hit -> 60, ambiguous -> 0
-                        # (full-mode MAPQ uses the real formula)
-                        mapq=60 if n_hits == 1 else 0,
+                        # the bwa MAPQ formula's EXACT outcome for a
+                        # full-length exact match: unique -> the raw
+                        # 6.02*(score-sub)/a*tmp^2 value clips to 60 for
+                        # any L >= ~25bp; repeated -> sub == score -> 0
+                        # (mem_approx_mapq_se; same rule fast_fields
+                        # applies in full mode)
+                        mapq=(60 if n_hits == 1 else 0) if j_rank == 0 else 0,
+                        nm=0,                      # exact: no edits
+                        md=str(L),                 # MD of an all-match run
+                        # XS mirrors full mode: equal-score repeat -> the
+                        # repeat's score; unique -> 0 (XS only on the
+                        # primary record, like mem_aln2sam)
+                        sub=(m * L if n_hits > 1 else 0) if j_rank == 0
+                        else -1,
                         rid=rid,
                     )
                 )

@@ -178,3 +178,37 @@ def test_cli_end_to_end(tmp_path):
     assert (tmp_path / "shards" / "manifest.json").exists()  # resume manifest
     z = np.load(tmp_path / "shards" / shards[0])
     assert z["codes"].shape[0] >= 16
+
+
+def test_exact_mode_field_complete(lambda_setup):
+    # mode="exact" records carry the full bwa_result field set for what
+    # they report: CIGAR/NM/MD/AS by construction, MAPQ/XS as the bwa
+    # formula's exact outcome for full-length exact matches
+    # (VERDICT r3 item 8)
+    g, idx, sim = lambda_setup
+    al = Aligner.build(idx, AlignOptions(), mode="exact")
+    batch = pack_reads(list(sim.reads[:20]), [f"r{i}" for i in range(20)])
+    results = al.align_batch(batch)
+    for res, p in zip(results, sim.positions[:20]):
+        assert res.mapped
+        h = res.primary
+        assert h.ref_begin == p
+        assert h.cigar == "100M" and h.nm == 0 and h.md == "100"
+        assert h.score == 100 and h.mapq == 60 and h.sub == 0
+    sam = emit_sam(results, idx, [r for r in sim.reads[:20]], header=False)
+    line = sam.splitlines()[0].split("\t")
+    assert "NM:i:0" in line and "MD:Z:100" in line
+    assert "AS:i:100" in line and "XS:i:0" in line
+
+    # repeated read: primary XS = repeat score, MAPQ 0 (sub >= score),
+    # secondary records keep XS unset like full mode
+    core = simulate_genome(3000, seed=3)
+    repeat = simulate_genome(200, seed=4)
+    g2 = core[:1000] + repeat + core[1000:2000] + repeat + core[2000:]
+    idx2 = build_index([("rep", g2)])
+    al2 = Aligner.build(idx2, AlignOptions(), mode="exact")
+    res = al2.align_batch(pack_reads([repeat[50:130]], ["rep"]))[0]
+    assert len(res.hits) >= 2
+    assert res.hits[0].mapq == 0 and res.hits[0].sub == 80
+    assert res.hits[0].nm == 0 and res.hits[0].md == "80"
+    assert res.hits[1].sub == -1 and res.hits[1].mapq == 0
