@@ -141,6 +141,10 @@ def bench_full(jax, idx, genome, batch_size=None, n_batches=6, health=None):
 
     t0 = time.time()
     out = jax.device_get(al.device_regions(batches[0]))
+    # warm the fat-cap overflow-retry program too (absorb_overflow):
+    # its first dispatch compiles, and that must not land inside a
+    # timed pass
+    out = al.absorb_overflow(batches[0], out)
     _log(f"full-pipeline compile+first batch: {time.time() - t0:.1f}s")
     # warm the host finalize path too (native lib load, numpy dispatch
     # caches) — the metric is steady-state serving throughput. The
@@ -160,6 +164,7 @@ def bench_full(jax, idx, genome, batch_size=None, n_batches=6, health=None):
             nxt = (al.device_regions(batches[k + 1])
                    if k + 1 < n_batches else None)
             out = jax.device_get(pending)
+            out = al.absorb_overflow(batches[k], out)
             results.append(finalize_columns(idx, al.options, batches[k], out))
             t1 = time.time()
             bt.append(t1 - t0)
@@ -172,10 +177,13 @@ def bench_full(jax, idx, genome, batch_size=None, n_batches=6, health=None):
 
     total = batch_size * n_batches
     ok = novf = 0
-    for cols, sim in zip(results, sims):
+    off_truth = []  # (batch k, row i) of reads not at simulated truth
+    for k, (cols, sim) in enumerate(zip(results, sims)):
         n = len(sim.positions)
-        ok += int((cols.mapped[:n] & (cols.pos[:n] == sim.positions)
-                   & (cols.is_rev[:n] == sim.strands.astype(bool))).sum())
+        at_truth = (cols.mapped[:n] & (cols.pos[:n] == sim.positions)
+                    & (cols.is_rev[:n] == sim.strands.astype(bool)))
+        ok += int(at_truth.sum())
+        off_truth.extend((k, int(i)) for i in np.flatnonzero(~at_truth))
         # overflow telemetry: reads that exceeded any device cap and fell
         # back to the host oracle (they are counted in the timing; a
         # nonzero rate at scale would make host finalize the ceiling)
@@ -183,11 +191,41 @@ def bench_full(jax, idx, genome, batch_size=None, n_batches=6, health=None):
     _log(f"truth: {ok}/{total}; overflow/slow-path reads: {novf}/{total} "
          f"({100 * novf / total:.3f}%)")
     assert ok >= 0.98 * total, "bench correctness check failed"
+
+    # classify every off-truth read against the host oracle (untimed;
+    # VERDICT r3 item 3): the invariant is device == oracle — a read
+    # whose primary record differs from the oracle's is a correctness
+    # bug and fails the bench; oracle-agreeing reads are legitimate
+    # BWA-MEM outcomes (repeat placement / clipped placement shift /
+    # low-score drop), counted by class in the JSON
+    from bioseqdb_tpu.cpu import oracle as O
+
+    classes = dict(oracle_agree_mapped=0, oracle_agree_unmapped=0,
+                   device_ne_oracle=0)
+    for k, i in off_truth:
+        cols, sim, batch = results[k], sims[k], batches[k]
+        q = np.asarray(batch.codes)[i, : batch.lens[i]].astype(np.uint8)
+        regs = O.align_read(idx, al.options, q, rand_id=i,
+                            min_score=al.options.min_score, all_hits=True)
+        prim = next((a for a in regs if not a.flag & 0x100), None)
+        if prim is None:
+            agree = not cols.mapped[i]
+            classes["oracle_agree_unmapped" if agree
+                    else "device_ne_oracle"] += 1
+            continue
+        agree = (bool(cols.mapped[i]) and int(cols.pos[i]) == prim.pos
+                 and bool(cols.is_rev[i]) == bool(prim.is_rev)
+                 and int(cols.score[i]) == prim.score)
+        classes["oracle_agree_mapped" if agree else "device_ne_oracle"] += 1
+    _log(f"off-truth classification: {classes}")
+    assert classes["device_ne_oracle"] == 0, (
+        "bench found device-vs-oracle disagreements", classes)
     return rps, dict(
         se_pass_rps=[round(r) for r in pass_rps],
         se_pass_health_ms=pass_health,
         se_passes=metas,
         truth=ok, total=total, overflow_reads=novf,
+        off_truth_classes=classes,
     ), al
 
 
@@ -217,8 +255,11 @@ def bench_pe(jax, idx, genome, al, batch_size=None, n_batches=3, health=None):
     dev = lambda k: al.device_regions_pair(*pbatches[k])
     w1, w2 = dev(0)
     finalize_pairs_columns(idx, al.options, pbatches[0][0],
-                           jax.device_get(w1), pbatches[0][1],
-                           jax.device_get(w2))  # warm PE finalize
+                           al.absorb_overflow(pbatches[0][0],
+                                              jax.device_get(w1)),
+                           pbatches[0][1],
+                           al.absorb_overflow(pbatches[0][1],
+                                              jax.device_get(w2)))  # warm
 
     def one_pass():
         bt, cols1 = [], []
@@ -226,8 +267,10 @@ def bench_pe(jax, idx, genome, al, batch_size=None, n_batches=3, health=None):
         pending = dev(0)
         for k in range(n_batches):
             nxt = dev(k + 1) if k + 1 < n_batches else None
-            o1 = jax.device_get(pending[0])
-            o2 = jax.device_get(pending[1])
+            o1 = al.absorb_overflow(pbatches[k][0],
+                                    jax.device_get(pending[0]))
+            o2 = al.absorb_overflow(pbatches[k][1],
+                                    jax.device_get(pending[1]))
             c1, _c2 = finalize_pairs_columns(
                 idx, al.options, pbatches[k][0], o1, pbatches[k][1], o2)
             cols1.append(c1)
@@ -289,8 +332,11 @@ def bench_chr20(jax, batch_size=None, n_batches=2, health=None):
     t0 = time.time()
     w1, w2 = dev(0)
     finalize_pairs_columns(idx, al.options, pbatches[0][0],
-                           jax.device_get(w1), pbatches[0][1],
-                           jax.device_get(w2))
+                           al.absorb_overflow(pbatches[0][0],
+                                              jax.device_get(w1)),
+                           pbatches[0][1],
+                           al.absorb_overflow(pbatches[0][1],
+                                              jax.device_get(w2)))
     _log(f"chr20 compile+first pair batch: {time.time() - t0:.1f}s")
 
     def one_pass():
@@ -299,8 +345,10 @@ def bench_chr20(jax, batch_size=None, n_batches=2, health=None):
         pending = dev(0)
         for k in range(n_batches):
             nxt = dev(k + 1) if k + 1 < n_batches else None
-            o1 = jax.device_get(pending[0])
-            o2 = jax.device_get(pending[1])
+            o1 = al.absorb_overflow(pbatches[k][0],
+                                    jax.device_get(pending[0]))
+            o2 = al.absorb_overflow(pbatches[k][1],
+                                    jax.device_get(pending[1]))
             c1, _c2 = finalize_pairs_columns(
                 idx, al.options, pbatches[k][0], o1, pbatches[k][1], o2)
             cols1.append(c1)

@@ -78,6 +78,9 @@ def full_align_step(
     max_cand: int = 0,
     kcand: int = 1,
     sw_sort: bool = True,
+    max_mem: int = 0,
+    max_iters: int = 0,
+    max_regs: int = 0,
 ):
     """Jitted full BWA-MEM device pipeline for one batch: SMEM seeding ->
     seed resolution -> chaining -> chain filter -> banded-SW extension.
@@ -107,7 +110,7 @@ def full_align_step(
     # need 24 where E.coli-class needs 16 — at 16, 91% of GRCh38 reads
     # overflowed to the host oracle (round-2 chip check).
     if codes.shape[1] <= 200:
-        caps = dict(max_cand=max_cand or 16, max_mem=16)
+        caps = dict(max_cand=max_cand or 16, max_mem=max_mem or 16)
     else:
         caps = dict(max_cand=max_cand) if max_cand else {}
         if codes.shape[1] >= 768:
@@ -116,6 +119,10 @@ def full_align_step(
             # so ~W/19 mems for a unique read; cap overflow would route
             # the whole read to the host oracle
             caps["max_mem"] = codes.shape[1] // 16 + 48
+        if max_mem:
+            caps["max_mem"] = max_mem
+    if max_iters:  # fat-cap overflow retry (Aligner.absorb_overflow)
+        caps["max_iters"] = max_iters
     mems = collect_seeds_device(
         fm, codes, lens, min_seed_len=min_seed_len, split_len=split_len,
         split_width=split_width, max_mem_intv=max_mem_intv,
@@ -151,6 +158,7 @@ def full_align_step(
         bandwidth=bandwidth, zdrop=zdrop,
         pen_clip5=pen_clip5, pen_clip3=pen_clip3,
         use_pallas_sw=use_pallas_sw, sw_sort=sw_sort,
+        **(dict(max_regs=max_regs) if max_regs else {}),
     )
     overflow = (
         mems["overflow"] | seeds["overflow"] | chains["overflow"]
@@ -213,7 +221,7 @@ _STEP_STATICS = (
     "pen_clip5", "pen_clip3", "min_chain_weight", "max_chain_gap",
     "mask_level", "chain_drop_ratio", "sa_interval", "use_pallas_sw",
     "keep_mems", "table", "pack_cap", "pack_narrow",
-    "max_cand", "kcand", "sw_sort",
+    "max_cand", "kcand", "sw_sort", "max_mem", "max_iters", "max_regs",
 )
 
 
@@ -495,14 +503,87 @@ class Aligner:
             self.fm, self.pac_dev, jnp.asarray(codes), jnp.asarray(lens),
             mat, pack_cap=cap, pack_narrow=narrow, **common)
 
+    # overflow-retry cap schedule: row buckets bound the number of
+    # distinct compiled fat programs; the cap multipliers cover every
+    # overflow source (candidate stack, mems table, located seeds,
+    # chains, region slots, per-lane iteration budget)
+    RETRY_BUCKETS = (64, 256, 1024)
+
+    def absorb_overflow(self, batch: ReadBatch, out: dict) -> dict:
+        """Re-run overflow rows on DEVICE with fat caps before the host
+        oracle sees them.
+
+        The host oracle costs ~100 ms/read at chr20 scale (64 Mb,
+        measured round 4) — a 0.25% overflow rate makes it the whole
+        batch cost. A second compiled program with doubled caps and a
+        3x iteration budget resolves almost all cap overflows in a few
+        ms of device time; only rows that STILL overflow fall back to
+        the oracle. Returns the (unpacked) out dict with retried rows
+        spliced in. No-op under meshes (sharded paths keep their own
+        batch plumbing) and when nothing overflowed."""
+        from bioseqdb_tpu.align.finalize import maybe_unpack
+
+        if self.mode != "full" or self.mesh is not None or self.fms is not None:
+            return out
+        if "mems" in out:  # keep_mems debug runs: shapes differ, skip
+            return out
+        out = maybe_unpack(out)
+        n = len(batch.names)
+        ovf = np.flatnonzero(np.asarray(out["overflow"])[:n])
+        if ovf.size == 0 or ovf.size > self.RETRY_BUCKETS[-1]:
+            return out
+        bucket = next(b for b in self.RETRY_BUCKETS if b >= ovf.size)
+        W = int(np.asarray(batch.codes).shape[1])
+        codes = np.full((bucket, W), 4, np.uint8)
+        codes[: ovf.size] = np.asarray(batch.codes, np.uint8)[ovf]
+        lens = np.zeros(bucket, np.int32)
+        lens[: ovf.size] = np.asarray(batch.lens, np.int32)[ovf]
+
+        from bioseqdb_tpu.cpu.ksw import fill_scmat
+
+        opt = self.options
+        mat = jnp.asarray(
+            fill_scmat(opt.match_score, opt.mismatch_penalty).astype(np.int32))
+        common, _ = self._step_kwargs(W)
+        common.update(
+            max_cand=32, max_mem=32,
+            max_seeds=max(2 * common["max_seeds"], 128),
+            max_chains=2 * common["max_chains"],
+            max_iters=3 * (10 * W + 256), max_regs=16,
+        )
+        r = jax.device_get(_full_align_step_jit(
+            self.fm, self.pac_dev, jnp.asarray(codes), jnp.asarray(lens),
+            mat, **common))
+        k = ovf.size
+        R_old = next(iter(out["regs"].values())).shape[1]
+        R_new = next(iter(r["regs"].values())).shape[1]
+        regs = {}
+        for key, a in out["regs"].items():
+            a = np.asarray(a)
+            if R_new > R_old:
+                a = np.concatenate(
+                    [a, np.zeros((a.shape[0], R_new - R_old), a.dtype)],
+                    axis=1)
+            a[ovf] = np.asarray(r["regs"][key])[:k].astype(a.dtype)
+            regs[key] = a
+        out = dict(out, regs=regs)
+        for key in ("n_regs", "overflow", "l_rep"):
+            if out.get(key) is not None:
+                col = np.asarray(out[key]).copy()
+                col[ovf] = np.asarray(r[key])[:k]
+                out[key] = col
+        return out
+
     def _align_full(self, batch: ReadBatch, with_query_ids: bool) -> list[ReadResult]:
         # long reads (>= ~900 bp: mem_flt_chained_seeds territory) run
         # the device pipeline like any others — the windowed seed-SW
         # filter is a device stage (kernels/seedsw.py); only per-read
-        # cap overflows fall back to the host oracle
+        # cap overflows (surviving the absorb_overflow fat-cap retry)
+        # fall back to the host oracle
         from bioseqdb_tpu.align.finalize import finalize_batch
 
         out = jax.device_get(self.device_regions(batch))
+        out = self.absorb_overflow(batch, out)
         return finalize_batch(
             self.index, self.options, batch, out, with_query_ids
         )
@@ -517,6 +598,8 @@ class Aligner:
 
         o1, o2 = self.device_regions_pair(batch1, batch2)
         out1, out2 = jax.device_get(o1), jax.device_get(o2)
+        out1 = self.absorb_overflow(batch1, out1)
+        out2 = self.absorb_overflow(batch2, out2)
         return finalize_pairs(
             self.index, self.options, batch1, out1, batch2, out2
         )
@@ -532,6 +615,8 @@ class Aligner:
 
         o1, o2 = self.device_regions_pair(batch1, batch2)
         out1, out2 = jax.device_get(o1), jax.device_get(o2)
+        out1 = self.absorb_overflow(batch1, out1)
+        out2 = self.absorb_overflow(batch2, out2)
         return finalize_pairs_columns(
             self.index, self.options, batch1, out1, batch2, out2
         )

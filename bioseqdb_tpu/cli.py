@@ -147,6 +147,7 @@ def _drain(aligner, idx, batch, pending, out, timer,
             with timer.stage("device_wait", batch.n):
                 regions = jax.device_get(pending)
             with timer.stage("finalize", batch.n):
+                regions = aligner.absorb_overflow(batch, regions)
                 cols = finalize_columns(idx, aligner.options, batch, regions)
                 seqs = [batch.read_text(i) for i in range(batch.n)]
                 out.write(emit_sam_columns(cols, idx, batch, header=False,

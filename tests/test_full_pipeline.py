@@ -294,3 +294,47 @@ def test_full_pipeline_int64_ranks(setup):
         assert np.array_equal(out64["regs"][f], out32["regs"][f]), f
     assert np.array_equal(out64["n_regs"], out32["n_regs"])
     assert out64["regs"]["rb"].dtype == np.int64
+
+
+def test_absorb_overflow_device_retry(setup):
+    # overflow rows re-run on device with fat caps (absorb_overflow)
+    # must end up byte-equal to the normal path's records, with the
+    # oracle fallback only for rows that STILL overflow (round 4: the
+    # host oracle costs ~100 ms/read at chr20 scale)
+    g, idx = setup
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from bioseqdb_tpu.align.finalize import finalize_batch, maybe_unpack
+    from bioseqdb_tpu.align.pipeline import _full_align_step_jit
+    from bioseqdb_tpu.cpu.ksw import fill_scmat
+    from bioseqdb_tpu.io.batch import pack_reads
+
+    al = Aligner.build(idx, AlignOptions(), mode="full")
+    sim = simulate_reads(g, 24, read_len=150, sub_rate=0.01, seed=42)
+    batch = pack_reads(sim.reads, sim.names)
+
+    # starved caps: most reads overflow at the seeding stage
+    mat = jnp.asarray(fill_scmat(
+        al.options.match_score, al.options.mismatch_penalty
+    ).astype(np.int32))
+    common, _ = al._step_kwargs(150 if batch.codes.shape[1] <= 200
+                                else batch.codes.shape[1])
+    common.update(max_cand=3, max_mem=4)
+    out_small = jax.device_get(_full_align_step_jit(
+        al.fm, al.pac_dev, jnp.asarray(batch.codes, jnp.uint8),
+        jnp.asarray(batch.lens, jnp.int32), mat, **common))
+    n_ovf = int(np.asarray(out_small["overflow"]).sum())
+    assert n_ovf > 0, "starved caps should overflow some reads"
+
+    absorbed = al.absorb_overflow(batch, out_small)
+    assert int(np.asarray(absorbed["overflow"]).sum()) < n_ovf
+
+    want = finalize_batch(idx, al.options, batch,
+                          jax.device_get(al.device_regions(batch)))
+    got = finalize_batch(idx, al.options, batch, absorbed)
+    for w, h in zip(want, got):
+        assert [(x.ref_name, x.ref_begin, x.cigar, x.score, x.mapq, x.nm,
+                 x.is_secondary) for x in w.hits] == \
+               [(x.ref_name, x.ref_begin, x.cigar, x.score, x.mapq, x.nm,
+                 x.is_secondary) for x in h.hits]

@@ -64,15 +64,17 @@ def make_genome(rng):
 COMP = str.maketrans("ACGTN", "TGCAN")
 
 
-def make_reads(rng, refs):
+def make_reads(rng, refs, long_reads=False):
     texts = [t for _, _, t in refs]
     reads = []
-    for _ in range(int(rng.choice([8, 12]))):
+    sizes = [300, 600] if long_reads else [48, 96, 144]
+    for _ in range(int(rng.choice([6, 8] if long_reads else [8, 12]))):
         g = texts[int(rng.integers(len(texts)))]
-        L = int(rng.choice([48, 96, 144]))
+        L = int(rng.choice(sizes))
+        L = min(L, len(g) - 1)
         p = int(rng.integers(0, len(g) - L))
         r = g[p : p + L]
-        kind = rng.integers(0, 6)
+        kind = rng.integers(0, 7)
         rl = list(r)
         if kind == 1:  # substitutions
             for _ in range(int(rng.integers(1, 1 + L // 20))):
@@ -87,6 +89,16 @@ def make_reads(rng, refs):
         elif kind == 4:  # junk clip
             junk = "".join("ACGT"[c] for c in rng.integers(0, 4, int(rng.integers(5, 20))))
             rl = list(junk) + rl if rng.random() < 0.5 else rl + list(junk)
+        elif kind == 5:  # chimeric/split: two far-apart segments (the
+            # class that exercises supplementary marking + SA tags)
+            g2 = texts[int(rng.integers(len(texts)))]
+            L2 = max(L // 2, 40)
+            if len(g2) > L2 + 1:
+                p2 = int(rng.integers(0, len(g2) - L2))
+                seg2 = g2[p2 : p2 + L2]
+                if rng.random() < 0.5:
+                    seg2 = seg2.translate(COMP)[::-1]
+                rl = rl[: max(L // 2, 40)] + list(seg2)
         r = "".join(rl)
         if rng.random() < 0.5:
             r = r.translate(COMP)[::-1]
@@ -94,16 +106,15 @@ def make_reads(rng, refs):
     return reads
 
 
-@pytest.mark.parametrize("case", range(N_CASES))
-def test_fuzz_device_equals_oracle(case):
-    rng = np.random.default_rng(1234 + case)
+def run_case(case, long_reads=False, pad=32):
+    rng = np.random.default_rng((5678 if long_reads else 1234) + case)
     refs = make_genome(rng)
     idx = build_index(refs)
-    reads = make_reads(rng, refs)
+    reads = make_reads(rng, refs, long_reads=long_reads)
     opt = AlignOptions()
     aligner = Aligner.build(idx, opt, mode="full")
     batch = pack_reads(reads, [f"f{i}" for i in range(len(reads))],
-                       pad_width_to=32)
+                       pad_width_to=pad)
     results = aligner.align_batch(batch)
     for i, r in enumerate(reads):
         want = O.align_read(idx, opt, enc(r), rand_id=i)
@@ -118,3 +129,15 @@ def test_fuzz_device_equals_oracle(case):
             for a in want
         ]
         assert got == exp, (case, i, r, got, exp)
+
+
+@pytest.mark.parametrize("case", range(N_CASES))
+def test_fuzz_device_equals_oracle(case):
+    run_case(case)
+
+
+# one fixed-width bucket for long reads (chimeric long reads routinely
+# split; the windowed seed-SW filter is active at these widths)
+@pytest.mark.parametrize("case", range(max(N_CASES // 4, 1)))
+def test_fuzz_long_reads(case):
+    run_case(case, long_reads=True, pad=768)
