@@ -57,15 +57,22 @@ def _select(pass_rps: list[float], healthy: list[bool]):
 
 
 def make_health(jax):
-    """A fixed reference op timed alongside every pass: a 50-step
-    dependent row-gather chain at the pipeline's hot shape. Its time
-    moves with the tunnel/device health, not with this repo's code."""
+    """Fixed reference ops timed alongside every pass: a 50-step
+    dependent row-gather chain at the pipeline's hot shape (compute
+    health) PLUS a 2 MB host->device round trip (relay bandwidth
+    health — round 4 found windows where the chain stayed at ~25 ms
+    but batch transfers ran ~2x slow). Their times move with the
+    tunnel/device, not with this repo's code. Returns (chain_ms,
+    xfer_ms); a pass is degraded when EITHER is >1.5x the session
+    best."""
+    import numpy as np
     import jax.numpy as jnp
 
     N = 16384
     tab = jax.random.randint(jax.random.PRNGKey(0), (N, 128), 0, 1 << 20,
                              jnp.int32)
     idx0 = jax.random.randint(jax.random.PRNGKey(1), (N,), 0, N, jnp.int32)
+    buf = np.arange(2 * 1024 * 1024, dtype=np.uint8)
 
     @jax.jit
     def chain(idx, tab):
@@ -76,40 +83,51 @@ def make_health(jax):
         return jax.lax.fori_loop(0, 50, body, idx).sum()
 
     jax.device_get(chain(idx0, tab))  # compile+warm
+    jax.device_get(jax.device_put(buf).sum())
 
-    def health() -> float:
+    def health() -> tuple[float, float]:
         t0 = time.time()
         jax.device_get(chain(idx0, tab))
-        return (time.time() - t0) * 1e3
+        t1 = time.time()
+        jax.device_get(jax.device_put(buf).sum())
+        t2 = time.time()
+        return (t1 - t0) * 1e3, (t2 - t1) * 1e3
 
     return health
 
 
 def _run_passes(name, one_pass, rate_of, health, max_passes):
-    """Common pass loop: score each pass, track health, stop when the
-    two best healthy passes agree within 10%."""
+    """Common pass loop: score each pass, track health (compute chain +
+    transfer round trip), stop when the two best healthy passes agree
+    within 10%."""
     pass_rps, pass_health, metas, last = [], [], [], None
+
+    def healthy_mask():
+        cmin = min(h[0] for h in pass_health)
+        xmin = min(h[1] for h in pass_health)
+        return [h[0] <= 1.5 * cmin and h[1] <= 1.5 * xmin
+                for h in pass_health]
+
     for p in range(max_passes):
-        h = health() if health else 0.0
+        hc, hx = health() if health else (0.0, 0.0)
         bt, last = one_pass()
         med = statistics.median(bt)
         pass_rps.append(rate_of(med))
-        pass_health.append(round(h, 1))
+        pass_health.append((round(hc, 1), round(hx, 1)))
         metas.append(dict(median_batch_s=round(med, 3),
                           min_batch_s=round(min(bt), 3),
                           max_batch_s=round(max(bt), 3),
-                          pass_s=round(sum(bt), 3), health_ms=round(h, 1)))
-        hmin = min(pass_health)
-        healthy = [x <= 1.5 * hmin for x in pass_health]
+                          pass_s=round(sum(bt), 3), health_ms=round(hc, 1),
+                          health_xfer_ms=round(hx, 1)))
+        healthy = healthy_mask()
         conf, converged, used = _select(pass_rps, healthy)
         _log(f"{name} pass {p + 1}: median {med * 1e3:.0f} ms/batch = "
-             f"{rate_of(med):,.0f} reads/s  health {h:.1f} ms"
+             f"{rate_of(med):,.0f} reads/s  health {hc:.1f}/{hx:.1f} ms"
              f"{'' if healthy[-1] else ' [degraded]'} "
              f"(batches {' '.join(f'{t:.2f}' for t in bt)})")
         if converged:
             break
-    hmin = min(pass_health)
-    healthy = [x <= 1.5 * hmin for x in pass_health]
+    healthy = healthy_mask()
     conf, converged, used = _select(pass_rps, healthy)
     if not converged:
         _log(f"WARNING: {name} passes never agreed within 10% "

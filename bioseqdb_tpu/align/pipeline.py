@@ -181,6 +181,42 @@ def full_align_step(
 _NARROW_FIELDS = ("qb", "qe", "score", "truesc", "w", "seedlen0", "seedcov")
 
 
+def pack_codes_2bit(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Host-side wire packing of read codes: 2-bit base codes (4/byte)
+    plus an ambiguity bitmap (8/byte) — 60 bytes per 150bp read instead
+    of 160. The relay charges ~22 ms/MB (degraded windows ~45 ms/MB),
+    and the codes upload was ~50 ms of a ~250 ms batch at B=16K
+    (round-4 A/B). Width pads to a multiple of 8 with code 4 (same
+    semantics as pack_reads padding). Unpacked on device by
+    ``_unpack_codes``."""
+    codes = np.asarray(codes, np.uint8)
+    B, W = codes.shape
+    Wp = -(-W // 8) * 8
+    if Wp != W:
+        codes = np.concatenate(
+            [codes, np.full((B, Wp - W), 4, np.uint8)], axis=1)
+    nm = codes >= 4
+    c2 = np.where(nm, 0, codes).reshape(B, Wp // 4, 4)
+    u2 = ((c2 << (2 * np.arange(4, dtype=np.uint8))).sum(
+        axis=2, dtype=np.uint32)).astype(np.uint8)
+    nmb = np.packbits(nm, axis=1, bitorder="little")
+    return u2, nmb
+
+
+def _unpack_codes(u2: jnp.ndarray, nm: jnp.ndarray) -> jnp.ndarray:
+    """Device-side inverse of ``pack_codes_2bit``: (B, W/4) 2-bit words
+    + (B, W/8) ambiguity bitmap -> (B, W) uint8 codes 0..4."""
+    B, Wq = u2.shape
+    shifts = (2 * jnp.arange(4, dtype=jnp.uint8))[None, None, :]
+    c = ((u2[:, :, None] >> shifts) & 3).reshape(B, Wq * 4)
+    bits = jnp.arange(8, dtype=jnp.uint8)[None, None, :]
+    m = ((nm[:, :, None] >> bits) & 1).reshape(B, -1)[:, : Wq * 4]
+    return jnp.where(m == 1, jnp.uint8(4), c)
+
+
+_unpack_codes_jit = jax.jit(_unpack_codes)
+
+
 def _pack_out(out: dict, cap: int, narrow: bool) -> dict:
     """Row-compact the (B, R) region tables for the device->host hop.
 
@@ -236,6 +272,8 @@ def _pair_align_step_jit(fm, pac_dev, codes, lens, mat,
     unfused path produced. One dispatch per pair batch instead of two
     (VERDICT r3 item 2: the split-dispatch PE leg paid ~1.8x per
     read through the relay's per-dispatch cost)."""
+    if isinstance(codes, tuple):  # wire-packed (pack_codes_2bit)
+        codes = _unpack_codes(*codes)
     out = full_align_step(fm, pac_dev, codes, lens, mat, **kw)
     B = codes.shape[0] // 2
 
@@ -262,6 +300,8 @@ def _full_align_step_jit(fm, pac_dev, codes, lens, mat,
     (kernels NEG constants) became leaked tracers when their module was
     first imported under an active trace — fixed by keeping them plain
     Python ints. BST_NO_ONEJIT=1 falls back to per-stage dispatch."""
+    if isinstance(codes, tuple):  # wire-packed (pack_codes_2bit)
+        codes = _unpack_codes(*codes)
     out = full_align_step(fm, pac_dev, codes, lens, mat, **kw)
     if pack_cap:
         out = _pack_out(out, pack_cap, pack_narrow)
@@ -401,10 +441,10 @@ class Aligner:
         mat = jnp.asarray(
             fill_scmat(opt.match_score, opt.mismatch_penalty).astype(np.int32)
         )
-        codes, lens = self._put_batch(batch)
         if self.fms is not None:
             from bioseqdb_tpu.dist.shard_index import full_align_step_sharded
 
+            codes, lens = self._put_batch(batch)
             data_axis = "data" if "data" in self.mesh.axis_names else None
             return full_align_step_sharded(
                 self.fms, codes, lens, mat, self.mesh, opt,
@@ -414,10 +454,24 @@ class Aligner:
             )
         if pack is None:
             pack = not keep_mems
-        W = int(codes.shape[1])
+        if self.mesh is None:
+            # replace the uint8 codes upload with the 2.67x smaller
+            # 2-bit + ambiguity-bitmap wire form (~50 ms/batch of relay
+            # time at B=16K, round-4 A/B); the jit wrapper unpacks
+            u2, nmb = pack_codes_2bit(np.asarray(batch.codes, np.uint8))
+            codes = (jnp.asarray(u2), jnp.asarray(nmb))
+            lens = jnp.asarray(np.asarray(batch.lens, np.int32))
+            B = int(u2.shape[0])
+            W = int(u2.shape[1]) * 4
+        else:
+            codes, lens = self._put_batch(batch)
+            B = int(codes.shape[0])
+            W = int(codes.shape[1])
         common, narrow = self._step_kwargs(W, keep_mems)
-        cap = 2 * int(codes.shape[0]) if pack else 0
+        cap = 2 * B if pack else 0
         if os.environ.get("BST_NO_ONEJIT") == "1":
+            if isinstance(codes, tuple):
+                codes = _unpack_codes_jit(*codes)
             out = full_align_step(self.fm, self.pac_dev, codes, lens, mat,
                                   **common)
             return _pack_out_jit(out, cap=cap, narrow=narrow) if pack else out
@@ -497,11 +551,15 @@ class Aligner:
         ) if c.shape[1] < W else c
         codes = np.concatenate([padW(c1), padW(c2)]).astype(np.uint8)
         lens = np.concatenate([batch1.lens, batch2.lens]).astype(np.int32)
+        # 2-bit + ambiguity-bitmap wire form (see device_regions)
+        u2, nmb = pack_codes_2bit(codes)
+        W = int(u2.shape[1]) * 4
         common, narrow = self._step_kwargs(W)
         cap = 2 * B  # per-mate pack cap (matches device_regions)
         return _pair_align_step_jit(
-            self.fm, self.pac_dev, jnp.asarray(codes), jnp.asarray(lens),
-            mat, pack_cap=cap, pack_narrow=narrow, **common)
+            self.fm, self.pac_dev, (jnp.asarray(u2), jnp.asarray(nmb)),
+            jnp.asarray(lens), mat, pack_cap=cap, pack_narrow=narrow,
+            **common)
 
     # overflow-retry cap schedule: row buckets bound the number of
     # distinct compiled fat programs; the cap multipliers cover every
