@@ -212,3 +212,21 @@ def test_exact_mode_field_complete(lambda_setup):
     assert res.hits[0].mapq == 0 and res.hits[0].sub == 80
     assert res.hits[0].nm == 0 and res.hits[0].md == "80"
     assert res.hits[1].sub == -1 and res.hits[1].mapq == 0
+
+
+def test_pack_codes_2bit_roundtrip():
+    # wire packing: 2-bit codes + ambiguity bitmap must round-trip for
+    # widths that are and aren't multiples of 8 (pads with code 4)
+    import jax
+    from bioseqdb_tpu.align.pipeline import pack_codes_2bit, _unpack_codes
+
+    rng = np.random.default_rng(11)
+    for B, W in ((3, 7), (5, 145), (4, 160)):
+        codes = rng.integers(0, 5, (B, W)).astype(np.uint8)
+        u2, nmb = pack_codes_2bit(codes)
+        assert u2.shape[1] * 4 % 8 == 0
+        got = np.asarray(jax.jit(_unpack_codes)(u2, nmb))
+        Wp = u2.shape[1] * 4
+        assert got.shape == (B, Wp)
+        assert (got[:, :W] == codes).all()
+        assert (got[:, W:] == 4).all()
