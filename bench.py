@@ -125,7 +125,11 @@ def _run_passes(name, one_pass, rate_of, health, max_passes):
              f"{rate_of(med):,.0f} reads/s  health {hc:.1f}/{hx:.1f} ms"
              f"{'' if healthy[-1] else ' [degraded]'} "
              f"(batches {' '.join(f'{t:.2f}' for t in bt)})")
-        if converged:
+        # two early passes agreeing can both sit in one degraded tunnel
+        # window (round 4 captured 43K/45K "converging" in a window the
+        # same code ran at 90K+); insist on at least three passes so a
+        # healthier window gets a chance to show up
+        if converged and p >= 2:
             break
     healthy = healthy_mask()
     conf, converged, used = _select(pass_rps, healthy)
@@ -247,30 +251,27 @@ def bench_full(jax, idx, genome, batch_size=None, n_batches=6, health=None):
     ), al
 
 
-def bench_pe(jax, idx, genome, al, batch_size=None, n_batches=3, health=None):
-    """Paired-end leg through the FUSED pair dispatch: both mates of a
-    pair batch run as ONE compiled device program at the same total row
-    count as an SE batch (pairs = batch_size/2), finalized by the
-    columnar PE path. Reported in READS/s (2 reads per pair)."""
-    if batch_size is None:
-        batch_size = int(os.environ.get("BST_BENCH_BATCH", 16384))
-    max_passes = int(os.environ.get("BST_BENCH_PE_PASSES", 4))
-
+def _pe_leg(jax, idx, al, genome, name, PB, n_batches, max_passes, health,
+            seed0, compile_log=None):
+    """Shared fused-PE pass loop (bench_pe and bench_chr20): simulate
+    pair batches, warm the dispatch + fat retry + finalize outside
+    timing, then run double-buffered passes. Returns (rps, pass data,
+    truth/proper counts)."""
     from bioseqdb_tpu.align.paired import finalize_pairs_columns
     from bioseqdb_tpu.io.batch import pack_reads
     from bioseqdb_tpu.utils.sim import simulate_pairs
 
-    PB = batch_size // 2  # pairs per batch -> batch_size device rows
     psims, pbatches = [], []
     for k in range(n_batches):
         sr1, sr2, _ = simulate_pairs(genome, PB, read_len=150, sub_rate=0.01,
                                      insert_mean=400, insert_std=40,
-                                     seed=700 + k)
+                                     seed=seed0 + k)
         psims.append(sr1)
         pbatches.append((pack_reads(sr1.reads, sr1.names),
                          pack_reads(sr2.reads, sr2.names)))
 
     dev = lambda k: al.device_regions_pair(*pbatches[k])
+    t0 = time.time()
     w1, w2 = dev(0)
     finalize_pairs_columns(idx, al.options, pbatches[0][0],
                            al.absorb_overflow(pbatches[0][0],
@@ -278,6 +279,8 @@ def bench_pe(jax, idx, genome, al, batch_size=None, n_batches=3, health=None):
                            pbatches[0][1],
                            al.absorb_overflow(pbatches[0][1],
                                               jax.device_get(w2)))  # warm
+    if compile_log:
+        _log(f"{compile_log}: {time.time() - t0:.1f}s")
 
     def one_pass():
         bt, cols1 = [], []
@@ -299,15 +302,31 @@ def bench_pe(jax, idx, genome, al, batch_size=None, n_batches=3, health=None):
         return bt, cols1
 
     rps, pass_rps, pass_health, metas, cols1 = _run_passes(
-        "PE", one_pass, lambda med: 2 * PB / med, health, max_passes)
+        name, one_pass, lambda med: 2 * PB / med, health, max_passes)
 
     okp = proper = 0
     for c1, sr1 in zip(cols1, psims):
         okp += int((c1.mapped[:PB] & (c1.pos[:PB] == sr1.positions)).sum())
         proper += int((c1.pe_flag[:PB] & 0x2 > 0).sum())
     totp = PB * n_batches
-    _log(f"PE truth (R1): {okp}/{totp}; proper {100 * proper / totp:.1f}%")
-    assert okp >= 0.95 * totp, "PE bench correctness check failed"
+    _log(f"{name} PE truth (R1): {okp}/{totp}; "
+         f"proper {100 * proper / totp:.1f}%")
+    assert okp >= 0.95 * totp, f"{name} bench correctness check failed"
+    return rps, pass_rps, pass_health, metas, okp, totp, proper
+
+
+def bench_pe(jax, idx, genome, al, batch_size=None, n_batches=3, health=None):
+    """Paired-end leg through the FUSED pair dispatch: both mates of a
+    pair batch run as ONE compiled device program at the same total row
+    count as an SE batch (pairs = batch_size/2), finalized by the
+    columnar PE path. Reported in READS/s (2 reads per pair)."""
+    if batch_size is None:
+        batch_size = int(os.environ.get("BST_BENCH_BATCH", 16384))
+    max_passes = int(os.environ.get("BST_BENCH_PE_PASSES", 4))
+    PB = batch_size // 2  # pairs per batch -> batch_size device rows
+    rps, pass_rps, pass_health, metas, okp, totp, proper = _pe_leg(
+        jax, idx, al, genome, "PE", PB, n_batches, max_passes, health,
+        seed0=700)
     return rps, dict(pe_pass_rps=[round(r) for r in pass_rps],
                      pe_pass_health_ms=pass_health, pe_passes=metas,
                      pe_truth=okp, pe_total_pairs=totp,
@@ -324,69 +343,19 @@ def bench_chr20(jax, batch_size=None, n_batches=2, health=None):
     max_passes = int(os.environ.get("BST_BENCH_CHR20_PASSES", 3))
 
     from bioseqdb_tpu.align.options import AlignOptions
-    from bioseqdb_tpu.align.paired import finalize_pairs_columns
     from bioseqdb_tpu.align.pipeline import Aligner
     from bioseqdb_tpu.index.builder import build_index
-    from bioseqdb_tpu.io.batch import pack_reads
-    from bioseqdb_tpu.utils.sim import simulate_genome, simulate_pairs
+    from bioseqdb_tpu.utils.sim import simulate_genome
 
     t0 = time.time()
     genome = simulate_genome(64_000_000, seed=20)
     idx = build_index([("chr20", genome)])
     _log(f"chr20-scale index built in {time.time() - t0:.1f}s")
     al = Aligner.build(idx, AlignOptions(), mode="full")
-
     PB = batch_size // 2
-    psims, pbatches = [], []
-    for k in range(n_batches):
-        sr1, sr2, _ = simulate_pairs(genome, PB, read_len=150, sub_rate=0.01,
-                                     insert_mean=400, insert_std=40,
-                                     seed=900 + k)
-        psims.append(sr1)
-        pbatches.append((pack_reads(sr1.reads, sr1.names),
-                         pack_reads(sr2.reads, sr2.names)))
-
-    dev = lambda k: al.device_regions_pair(*pbatches[k])
-    t0 = time.time()
-    w1, w2 = dev(0)
-    finalize_pairs_columns(idx, al.options, pbatches[0][0],
-                           al.absorb_overflow(pbatches[0][0],
-                                              jax.device_get(w1)),
-                           pbatches[0][1],
-                           al.absorb_overflow(pbatches[0][1],
-                                              jax.device_get(w2)))
-    _log(f"chr20 compile+first pair batch: {time.time() - t0:.1f}s")
-
-    def one_pass():
-        bt, cols1 = [], []
-        t0 = time.time()
-        pending = dev(0)
-        for k in range(n_batches):
-            nxt = dev(k + 1) if k + 1 < n_batches else None
-            o1 = al.absorb_overflow(pbatches[k][0],
-                                    jax.device_get(pending[0]))
-            o2 = al.absorb_overflow(pbatches[k][1],
-                                    jax.device_get(pending[1]))
-            c1, _c2 = finalize_pairs_columns(
-                idx, al.options, pbatches[k][0], o1, pbatches[k][1], o2)
-            cols1.append(c1)
-            t1 = time.time()
-            bt.append(t1 - t0)
-            t0 = t1
-            pending = nxt
-        return bt, cols1
-
-    rps, pass_rps, pass_health, metas, cols1 = _run_passes(
-        "chr20", one_pass, lambda med: 2 * PB / med, health, max_passes)
-
-    okp = proper = 0
-    for c1, sr1 in zip(cols1, psims):
-        okp += int((c1.mapped[:PB] & (c1.pos[:PB] == sr1.positions)).sum())
-        proper += int((c1.pe_flag[:PB] & 0x2 > 0).sum())
-    totp = PB * n_batches
-    _log(f"chr20 PE truth (R1): {okp}/{totp}; "
-         f"proper {100 * proper / totp:.1f}%")
-    assert okp >= 0.95 * totp, "chr20 bench correctness check failed"
+    rps, pass_rps, pass_health, metas, okp, totp, proper = _pe_leg(
+        jax, idx, al, genome, "chr20", PB, n_batches, max_passes, health,
+        seed0=900, compile_log="chr20 compile+first pair batch")
     return rps, dict(chr20_pe_pass_rps=[round(r) for r in pass_rps],
                      chr20_pe_pass_health_ms=pass_health,
                      chr20_pe_truth=okp, chr20_pe_total_pairs=totp,

@@ -123,7 +123,8 @@ def aln_to_hit(
         # p->secondary >= 0, else max(sub, csub) — reg2aln fills it)
         sub=aln.sub if reg.secondary < 0 else -1,
         rid=aln.rid,
-        is_alt=bool(idx.ref_is_alt[aln.rid]) if len(idx.ref_is_alt) else False,
+        is_alt=bool(idx.ref_is_alt[aln.rid])
+        if 0 <= aln.rid < len(idx.ref_is_alt) else False,
     )
 
 
@@ -191,12 +192,18 @@ def emit_read_hits(
         hits.append(aln_to_hit(idx, aln, r, name, query_id))
     # non-first primary parts of a chimeric read are supplementary
     # (mem_reg2sam: `if (l && p->secondary < 0) flag |= 0x800`)
-    seen_primary = False
+    first_primary = None
     for h in hits:
         if not h.is_secondary:
-            if seen_primary:
+            if first_primary is not None:
                 h.is_supplementary = True
-            seen_primary = True
+                # bwa mem_reg2sam caps a non-ALT supplementary record's
+                # MAPQ at the first primary's (the SA tag below carries
+                # the capped value)
+                if not h.is_alt and h.mapq > first_primary.mapq:
+                    h.mapq = first_primary.mapq
+            else:
+                first_primary = h
     add_sa_tags(hits)
     res = ReadResult(query_name=name, hits=hits)
     if xa and hits and len(xa) <= opt.max_xa_hits:

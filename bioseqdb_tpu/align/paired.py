@@ -351,9 +351,11 @@ def _pairs_prelude(idx: FMIndex, opt: AlignOptions, batch1, out1, batch2,
     return n, mat, f1, f2, pes, fast_pair, all_regs
 
 
-def _pair_slow_one(idx, opt, mat, pes, name, q1, regs1, q2, regs2):
+def _pair_slow_one(idx, opt, mat, pes, name, q1, regs1, q2, regs2,
+                   rid1: int = 0, rid2: int = 1 << 20):
     """Full per-pair path (mate rescue + mem_pair) for one template."""
     if any(not st.failed for st in pes):
+        n1, n2 = len(regs1), len(regs2)
         for (regs_a, q_m, regs_m) in ((regs1, q2, regs2), (regs2, q1, regs1)):
             if not regs_a:
                 continue
@@ -363,6 +365,14 @@ def _pair_slow_one(idx, opt, mat, pes, name, q1, regs1, q2, regs2):
             ][: opt.max_matesw]
             for a in anchors:
                 mem_matesw(idx, opt, pes, a, q_m, regs_m, mat)
+        # bwa mem_sam_pe re-runs mem_mark_primary_se AFTER rescue so
+        # rescue-inserted regions get secondary marks; without the
+        # re-mark a rescued duplicate of an existing region would be
+        # emitted as an extra supplementary record (round-4 review)
+        if len(regs1) != n1:
+            regs1 = O.mark_primary(opt, regs1, rid1)
+        if len(regs2) != n2:
+            regs2 = O.mark_primary(opt, regs2, rid2)
     return _pair_one(idx, opt, mat, pes, name, q1, regs1, q2, regs2)
 
 
@@ -389,7 +399,8 @@ def finalize_pairs(
             continue
         (q1, regs1), (q2, regs2) = all_regs[i]
         results.append(_pair_slow_one(idx, opt, mat, pes, batch1.names[i],
-                                      q1, regs1, q2, regs2))
+                                      q1, regs1, q2, regs2,
+                                      rid1=i, rid2=(1 << 20) + i))
     return results
 
 
@@ -505,7 +516,8 @@ def finalize_pairs_columns(idx: FMIndex, opt: AlignOptions,
     for i in np.flatnonzero(~fast_pair[:n]).tolist():
         (q1, regs1), (q2, regs2) = all_regs[i]
         r1, r2 = _pair_slow_one(idx, opt, mat, pes, batch1.names[i],
-                                q1, regs1, q2, regs2)
+                                q1, regs1, q2, regs2,
+                                rid1=i, rid2=(1 << 20) + i)
         cols1.extra[i] = r1
         cols2.extra[i] = r2
         for cols, r in ((cols1, r1), (cols2, r2)):
@@ -614,6 +626,14 @@ def _pair_one(idx, opt, mat, pes, name, q1, regs1, q2, regs2):
             hit.mapq = q_se if q_se > q_pe else min(q_pe, q_se + 40)
 
     h1, h2 = ends
+    # bwa caps a non-ALT supplementary record's MAPQ at its end's
+    # primary MAPQ (post-uplift); SA tags carry the capped value
+    for prim, sup in zip(ends, supps):
+        if prim is None:
+            continue
+        for h in sup:
+            if not h.is_alt and h.mapq > prim.mapq:
+                h.mapq = prim.mapq
     hits1 = ([h1] if h1 else []) + supps[0]
     hits2 = ([h2] if h2 else []) + supps[1]
     add_sa_tags(hits1)

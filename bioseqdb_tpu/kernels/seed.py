@@ -326,7 +326,8 @@ def collect_seeds_device(
     P, M = max_cand, max_mem
     i32 = jnp.int32
     rdt = fm.seq_len.dtype  # rank dtype (int64 for >2^31 indexes)
-    if max_iters <= 0:
+    default_budget = max_iters <= 0
+    if default_budget:
         max_iters = 10 * W + 256
     J = jump_depth
     # stepwise r3 cannot stop before depth min_seed_len, so the jump is
@@ -350,6 +351,12 @@ def collect_seeds_device(
     # so the re-derived (a, s) and decodes are identical.
     share = (share_fetch and shard_axis is None and KC == 1
              and quad_rows is None)
+    if share and default_budget:
+        # ~25% of consuming iterations become split-pair stalls under
+        # fetch sharing (census), so the default per-lane budget —
+        # calibrated for stall-free trips — scales up ~4/3; an explicit
+        # caller cap (fat retry, A/B tools) is left untouched
+        max_iters = (40 * W + 1024) // 3
 
     cpk, abm, jcw = _pack_streams(codes.astype(i32), J if jump else 0)
 

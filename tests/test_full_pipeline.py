@@ -338,3 +338,23 @@ def test_absorb_overflow_device_retry(setup):
                  x.is_secondary) for x in w.hits] == \
                [(x.ref_name, x.ref_begin, x.cigar, x.score, x.mapq, x.nm,
                  x.is_secondary) for x in h.hits]
+
+
+def test_supplementary_mapq_capped_at_primary(setup):
+    # bwa mem_reg2sam: a non-ALT supplementary record's MAPQ caps at
+    # the first primary's. Build a split read whose higher-score part
+    # sits in the duplicated repeat (primary, MAPQ 0) while the other
+    # part is unique (would be MAPQ 60 uncapped).
+    g, idx = setup
+    from bioseqdb_tpu.align.pipeline import align as align_fn
+
+    read = g[8000:8090] + g[20000:20070]  # 90bp in repeat + 70bp unique
+    res = align_fn([read], idx)[0]
+    prims = [h for h in res.hits if not h.is_secondary]
+    assert len(prims) == 2
+    assert prims[0].query_match_len > prims[1].query_match_len
+    assert prims[0].mapq <= 3          # repeat part: ambiguous
+    assert prims[1].is_supplementary
+    assert prims[1].mapq <= prims[0].mapq  # capped
+    # and the SA tag carries the capped value
+    assert f",{prims[1].mapq}," in prims[0].sa
