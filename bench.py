@@ -273,12 +273,11 @@ def _pe_leg(jax, idx, al, genome, name, PB, n_batches, max_passes, health,
     dev = lambda k: al.device_regions_pair(*pbatches[k])
     t0 = time.time()
     w1, w2 = dev(0)
-    finalize_pairs_columns(idx, al.options, pbatches[0][0],
-                           al.absorb_overflow(pbatches[0][0],
-                                              jax.device_get(w1)),
-                           pbatches[0][1],
-                           al.absorb_overflow(pbatches[0][1],
-                                              jax.device_get(w2)))  # warm
+    wo1, wo2 = al.absorb_overflow_pair(
+        pbatches[0][0], jax.device_get(w1),
+        pbatches[0][1], jax.device_get(w2))
+    finalize_pairs_columns(idx, al.options, pbatches[0][0], wo1,
+                           pbatches[0][1], wo2)  # warm
     if compile_log:
         _log(f"{compile_log}: {time.time() - t0:.1f}s")
 
@@ -288,10 +287,9 @@ def _pe_leg(jax, idx, al, genome, name, PB, n_batches, max_passes, health,
         pending = dev(0)
         for k in range(n_batches):
             nxt = dev(k + 1) if k + 1 < n_batches else None
-            o1 = al.absorb_overflow(pbatches[k][0],
-                                    jax.device_get(pending[0]))
-            o2 = al.absorb_overflow(pbatches[k][1],
-                                    jax.device_get(pending[1]))
+            o1, o2 = al.absorb_overflow_pair(
+                pbatches[k][0], jax.device_get(pending[0]),
+                pbatches[k][1], jax.device_get(pending[1]))
             c1, _c2 = finalize_pairs_columns(
                 idx, al.options, pbatches[k][0], o1, pbatches[k][1], o2)
             cols1.append(c1)

@@ -567,6 +567,62 @@ class Aligner:
     # chains, region slots, per-lane iteration budget)
     RETRY_BUCKETS = (64, 256, 1024)
 
+    def _retry_eligible(self, out: dict) -> bool:
+        return (self.mode == "full" and self.mesh is None
+                and self.fms is None and "mems" not in out)
+
+    def _fat_retry(self, codes_sel: np.ndarray, lens_sel: np.ndarray) -> dict:
+        """One fat-cap dispatch over the selected overflow rows (padded
+        to a RETRY_BUCKETS row bucket); returns the device-get result."""
+        from bioseqdb_tpu.cpu.ksw import fill_scmat
+
+        k, W = codes_sel.shape
+        bucket = next(b for b in self.RETRY_BUCKETS if b >= k)
+        codes = np.full((bucket, W), 4, np.uint8)
+        codes[:k] = codes_sel
+        lens = np.zeros(bucket, np.int32)
+        lens[:k] = lens_sel
+        opt = self.options
+        mat = jnp.asarray(
+            fill_scmat(opt.match_score, opt.mismatch_penalty).astype(np.int32))
+        common, _ = self._step_kwargs(W)
+        common.update(
+            max_cand=32, max_mem=32,
+            max_seeds=max(2 * common["max_seeds"], 128),
+            max_chains=2 * common["max_chains"],
+            max_iters=3 * (10 * W + 256), max_regs=16,
+        )
+        return jax.device_get(_full_align_step_jit(
+            self.fm, self.pac_dev, jnp.asarray(codes), jnp.asarray(lens),
+            mat, **common))
+
+    @staticmethod
+    def _splice_retry(out: dict, ovf: np.ndarray, r: dict, base: int) -> dict:
+        """Write retry rows r[base : base + len(ovf)] back into the
+        dense out tables (growing R when the fat program's region slots
+        exceed the original)."""
+        k = ovf.size
+        R_old = next(iter(out["regs"].values())).shape[1]
+        R_new = next(iter(r["regs"].values())).shape[1]
+        regs = {}
+        for key, a in out["regs"].items():
+            a = np.asarray(a)
+            if R_new > R_old:
+                a = np.concatenate(
+                    [a, np.zeros((a.shape[0], R_new - R_old), a.dtype)],
+                    axis=1)
+            else:
+                a = a.copy()  # never mutate the caller's arrays
+            a[ovf] = np.asarray(r["regs"][key])[base : base + k].astype(a.dtype)
+            regs[key] = a
+        out = dict(out, regs=regs)
+        for key in ("n_regs", "overflow", "l_rep"):
+            if out.get(key) is not None:
+                col = np.asarray(out[key]).copy()
+                col[ovf] = np.asarray(r[key])[base : base + k]
+                out[key] = col
+        return out
+
     def absorb_overflow(self, batch: ReadBatch, out: dict) -> dict:
         """Re-run overflow rows on DEVICE with fat caps before the host
         oracle sees them.
@@ -581,56 +637,51 @@ class Aligner:
         batch plumbing) and when nothing overflowed."""
         from bioseqdb_tpu.align.finalize import maybe_unpack
 
-        if self.mode != "full" or self.mesh is not None or self.fms is not None:
-            return out
-        if "mems" in out:  # keep_mems debug runs: shapes differ, skip
+        if not self._retry_eligible(out):
             return out
         out = maybe_unpack(out)
         n = len(batch.names)
         ovf = np.flatnonzero(np.asarray(out["overflow"])[:n])
         if ovf.size == 0 or ovf.size > self.RETRY_BUCKETS[-1]:
             return out
-        bucket = next(b for b in self.RETRY_BUCKETS if b >= ovf.size)
-        W = int(np.asarray(batch.codes).shape[1])
-        codes = np.full((bucket, W), 4, np.uint8)
-        codes[: ovf.size] = np.asarray(batch.codes, np.uint8)[ovf]
-        lens = np.zeros(bucket, np.int32)
-        lens[: ovf.size] = np.asarray(batch.lens, np.int32)[ovf]
+        r = self._fat_retry(np.asarray(batch.codes, np.uint8)[ovf],
+                            np.asarray(batch.lens, np.int32)[ovf])
+        return self._splice_retry(out, ovf, r, 0)
 
-        from bioseqdb_tpu.cpu.ksw import fill_scmat
+    def absorb_overflow_pair(self, batch1: ReadBatch, out1: dict,
+                             batch2: ReadBatch, out2: dict):
+        """absorb_overflow for a pair batch: BOTH mates' overflow rows
+        ride ONE fat dispatch (~80 ms/dispatch warm at chr20 — two
+        separate calls paid it twice)."""
+        from bioseqdb_tpu.align.finalize import maybe_unpack
 
-        opt = self.options
-        mat = jnp.asarray(
-            fill_scmat(opt.match_score, opt.mismatch_penalty).astype(np.int32))
-        common, _ = self._step_kwargs(W)
-        common.update(
-            max_cand=32, max_mem=32,
-            max_seeds=max(2 * common["max_seeds"], 128),
-            max_chains=2 * common["max_chains"],
-            max_iters=3 * (10 * W + 256), max_regs=16,
-        )
-        r = jax.device_get(_full_align_step_jit(
-            self.fm, self.pac_dev, jnp.asarray(codes), jnp.asarray(lens),
-            mat, **common))
-        k = ovf.size
-        R_old = next(iter(out["regs"].values())).shape[1]
-        R_new = next(iter(r["regs"].values())).shape[1]
-        regs = {}
-        for key, a in out["regs"].items():
-            a = np.asarray(a)
-            if R_new > R_old:
-                a = np.concatenate(
-                    [a, np.zeros((a.shape[0], R_new - R_old), a.dtype)],
-                    axis=1)
-            a[ovf] = np.asarray(r["regs"][key])[:k].astype(a.dtype)
-            regs[key] = a
-        out = dict(out, regs=regs)
-        for key in ("n_regs", "overflow", "l_rep"):
-            if out.get(key) is not None:
-                col = np.asarray(out[key]).copy()
-                col[ovf] = np.asarray(r[key])[:k]
-                out[key] = col
-        return out
+        if not (self._retry_eligible(out1) and self._retry_eligible(out2)):
+            return out1, out2
+        out1 = maybe_unpack(out1)
+        out2 = maybe_unpack(out2)
+        o1 = np.flatnonzero(
+            np.asarray(out1["overflow"])[: len(batch1.names)])
+        o2 = np.flatnonzero(
+            np.asarray(out2["overflow"])[: len(batch2.names)])
+        total = o1.size + o2.size
+        if total == 0 or total > self.RETRY_BUCKETS[-1]:
+            return out1, out2
+        c1 = np.asarray(batch1.codes, np.uint8)[o1]
+        c2 = np.asarray(batch2.codes, np.uint8)[o2]
+        W = max(c1.shape[1] if o1.size else 0, c2.shape[1] if o2.size else 0)
+        padW = lambda c: np.concatenate(
+            [c, np.full((c.shape[0], W - c.shape[1]), 4, np.uint8)], axis=1
+        ) if c.shape[1] < W else c
+        codes = np.concatenate([padW(c1), padW(c2)]) if o1.size and o2.size \
+            else (padW(c1) if o1.size else padW(c2))
+        lens = np.concatenate([np.asarray(batch1.lens, np.int32)[o1],
+                               np.asarray(batch2.lens, np.int32)[o2]])
+        r = self._fat_retry(codes, lens)
+        if o1.size:
+            out1 = self._splice_retry(out1, o1, r, 0)
+        if o2.size:
+            out2 = self._splice_retry(out2, o2, r, o1.size)
+        return out1, out2
 
     def _align_full(self, batch: ReadBatch, with_query_ids: bool) -> list[ReadResult]:
         # long reads (>= ~900 bp: mem_flt_chained_seeds territory) run
@@ -656,8 +707,7 @@ class Aligner:
 
         o1, o2 = self.device_regions_pair(batch1, batch2)
         out1, out2 = jax.device_get(o1), jax.device_get(o2)
-        out1 = self.absorb_overflow(batch1, out1)
-        out2 = self.absorb_overflow(batch2, out2)
+        out1, out2 = self.absorb_overflow_pair(batch1, out1, batch2, out2)
         return finalize_pairs(
             self.index, self.options, batch1, out1, batch2, out2
         )
@@ -673,8 +723,7 @@ class Aligner:
 
         o1, o2 = self.device_regions_pair(batch1, batch2)
         out1, out2 = jax.device_get(o1), jax.device_get(o2)
-        out1 = self.absorb_overflow(batch1, out1)
-        out2 = self.absorb_overflow(batch2, out2)
+        out1, out2 = self.absorb_overflow_pair(batch1, out1, batch2, out2)
         return finalize_pairs_columns(
             self.index, self.options, batch1, out1, batch2, out2
         )

@@ -381,3 +381,39 @@ def test_pe_chimeric_supplementary(setup):
     prim = next(l for l in lines if int(l[1]) & 0x40 and not int(l[1]) & 0x800)
     assert any(t.startswith("SA:Z:") for t in prim[11:])
     assert len(prim[9]) == len(reads1[3])
+
+
+def test_absorb_overflow_pair_equals_single(setup):
+    # one fused fat retry for both mates == two per-mate retries
+    g, idx, r1, r2, inserts = setup
+    import jax
+    import jax.numpy as jnp
+    from bioseqdb_tpu.align.pipeline import _full_align_step_jit
+    from bioseqdb_tpu.cpu.ksw import fill_scmat
+
+    al = Aligner.build(idx, AlignOptions(), mode="full")
+    b1 = pack_reads(r1.reads, r1.names)
+    b2 = pack_reads(r2.reads, r2.names)
+    mat = jnp.asarray(fill_scmat(
+        al.options.match_score, al.options.mismatch_penalty
+    ).astype(np.int32))
+
+    def starved(b):
+        common, _ = al._step_kwargs(int(b.codes.shape[1]))
+        common.update(max_cand=3, max_mem=4)
+        return jax.device_get(_full_align_step_jit(
+            al.fm, al.pac_dev, jnp.asarray(b.codes, jnp.uint8),
+            jnp.asarray(b.lens, jnp.int32), mat, **common))
+
+    s1, s2 = starved(b1), starved(b2)
+    assert np.asarray(s1["overflow"]).sum() > 0
+    a1 = al.absorb_overflow(b1, dict(s1))
+    a2 = al.absorb_overflow(b2, dict(s2))
+    p1, p2 = al.absorb_overflow_pair(b1, dict(s1), b2, dict(s2))
+    for want, got in ((a1, p1), (a2, p2)):
+        assert (np.asarray(want["overflow"])
+                == np.asarray(got["overflow"])).all()
+        assert (np.asarray(want["n_regs"]) == np.asarray(got["n_regs"])).all()
+        for k in want["regs"]:
+            assert (np.asarray(want["regs"][k])
+                    == np.asarray(got["regs"][k])).all(), k
