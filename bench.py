@@ -331,7 +331,7 @@ def bench_pe(jax, idx, genome, al, batch_size=None, n_batches=3, health=None):
                      pe_proper_pct=round(100 * proper / totp, 1))
 
 
-def bench_chr20(jax, batch_size=None, n_batches=2, health=None):
+def bench_chr20(jax, batch_size=None, n_batches=4, health=None):
     """Human-chromosome-scale PE leg (BASELINE.md config 3 class):
     chr20-sized synthetic genome (64 Mb), paired-end reads through the
     fused dispatch. Smaller pass budget — the number's job is to put a
