@@ -185,3 +185,26 @@ def test_big_index_requires_x64_guard():
     fake = types.SimpleNamespace(seq_len=2**31, L2=None)
     with pytest.raises(ValueError, match="enable x64"):
         kfm.FMDevice.from_host(fake)
+
+
+def test_sa_resolve_fused_walk_boundaries():
+    # the unsharded sa_resolve decodes the SA-mark bit from the SAME
+    # octo row as the LF fetch; lanes where rank r and j = r - (r >
+    # primary) fall in different 1024-rank rows take the flat-bitmap
+    # fallback. Exercise every rank around each 1024 boundary and
+    # around primary against the host ground truth.
+    rng = np.random.default_rng(33)
+    pac = rng.integers(0, 4, size=40_000, dtype=np.uint8)
+    idx = build_fmindex_from_codes(pac)
+    fm = kfm.FMDevice.from_host(idx)
+    n = idx.seq_len
+    ranks = []
+    for b in range(1024, n, 1024):
+        ranks.extend(range(b - 2, b + 3))
+    ranks.extend(range(max(idx.primary - 2, 0), min(idx.primary + 3, n)))
+    ranks.extend(rng.integers(0, n, size=512).tolist())
+    ranks = np.array([r for r in ranks if 0 <= r < n], np.int64)
+    got = np.asarray(kfm.sa_resolve(fm, jnp.asarray(ranks),
+                                    idx.sa_interval))
+    want = np.array([idx.sa_at(int(r)) for r in ranks])
+    assert np.array_equal(got, want)
