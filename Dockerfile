@@ -11,6 +11,8 @@ RUN apt-get update && apt-get install -y --no-install-recommends g++ make \
 WORKDIR /opt/bioseqdb-tpu
 COPY . .
 RUN pip install --no-cache-dir -e .[test]
-RUN python -m pytest tests/ -q
+# per-file pytest processes: the single-process invocation segfaults the
+# XLA-CPU compiler at suite scale (~6 GB RSS; tools/run_tests.py:1-15)
+RUN python tools/run_tests.py
 
 ENTRYPOINT ["bioseqdb-tpu"]

@@ -5,8 +5,10 @@ NATIVE := bioseqdb_tpu/index/native
 
 .PHONY: test native-sanitize clean
 
+# per-file pytest processes (tools/run_tests.py): single-process pytest
+# segfaults the XLA-CPU compiler at suite scale (~6 GB RSS)
 test:
-	python -m pytest tests/ -q
+	python tools/run_tests.py
 
 # Build the native library under ASan+UBSan and run the native test
 # driver against it (SA-IS vs random oracles + ksw_global cases).
