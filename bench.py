@@ -45,7 +45,10 @@ def _log(*a):
 
 def _select(pass_rps: list[float], healthy: list[bool]):
     """(confirmed_rate, converged, used_idx): the second-best rate among
-    healthy passes (all passes when fewer than two are healthy)."""
+    healthy passes (all passes when fewer than two are healthy).
+    Convergence additionally requires >= 3 healthy passes — round 4's
+    ledger capture was two degraded passes agreeing with each other
+    (VERDICT r4 weak 2)."""
     idx = [i for i, h in enumerate(healthy) if h]
     if len(idx) < 2:
         idx = list(range(len(pass_rps)))
@@ -53,7 +56,7 @@ def _select(pass_rps: list[float], healthy: list[bool]):
     if len(sel) < 2:
         return sel[0], False, idx
     conf = sel[-2]
-    return conf, sel[-1] <= 1.10 * sel[-2], idx
+    return conf, sel[-1] <= 1.10 * sel[-2] and len(idx) >= 3, idx
 
 
 def make_health(jax):
@@ -97,22 +100,37 @@ def make_health(jax):
 
 
 def _run_passes(name, one_pass, rate_of, health, max_passes):
-    """Common pass loop: score each pass, track health (compute chain +
-    transfer round trip), stop when the two best healthy passes agree
-    within 10%."""
+    """Common pass loop: score each pass, track health, stop when the
+    two best healthy passes agree within 10% AND >= 3 healthy passes
+    exist.
+
+    A pass is healthy only if (a) its side-channel probes (compute
+    chain + 2 MB transfer) are within 1.5x the session best AND (b) its
+    own median batch time is within 1.25x the session-best pass median
+    — the workload itself is the strongest degradation signal (round
+    4's ledger capture had ~43K passes whose probes looked fine while
+    batches ran 40% slow; VERDICT r4 item 2). Excluded passes extend
+    the pass budget (up to 2x + 2) so degraded windows don't starve the
+    capture of healthy samples."""
     pass_rps, pass_health, metas, last = [], [], [], None
+    pass_med = []
 
     def healthy_mask():
         cmin = min(h[0] for h in pass_health)
         xmin = min(h[1] for h in pass_health)
+        mmin = min(pass_med)
         return [h[0] <= 1.5 * cmin and h[1] <= 1.5 * xmin
-                for h in pass_health]
+                and m <= 1.25 * mmin
+                for h, m in zip(pass_health, pass_med)]
 
-    for p in range(max_passes):
+    budget = max_passes
+    p = 0
+    while p < budget:
         hc, hx = health() if health else (0.0, 0.0)
         bt, last = one_pass()
         med = statistics.median(bt)
         pass_rps.append(rate_of(med))
+        pass_med.append(med)
         pass_health.append((round(hc, 1), round(hx, 1)))
         metas.append(dict(median_batch_s=round(med, 3),
                           min_batch_s=round(min(bt), 3),
@@ -125,19 +143,25 @@ def _run_passes(name, one_pass, rate_of, health, max_passes):
              f"{rate_of(med):,.0f} reads/s  health {hc:.1f}/{hx:.1f} ms"
              f"{'' if healthy[-1] else ' [degraded]'} "
              f"(batches {' '.join(f'{t:.2f}' for t in bt)})")
-        # two early passes agreeing can both sit in one degraded tunnel
-        # window (round 4 captured 43K/45K "converging" in a window the
-        # same code ran at 90K+); insist on at least three passes so a
-        # healthier window gets a chance to show up
+        # degraded passes don't count against the budget (bounded at
+        # 2x + 2 so a permanently bad window still terminates)
+        n_excluded = sum(not h for h in healthy)
+        budget = min(max_passes + n_excluded, 2 * max_passes + 2)
+        # insist on at least three passes so a healthier window gets a
+        # chance to show up (round 4: two early passes agreed inside
+        # one degraded window)
         if converged and p >= 2:
             break
+        p += 1
     healthy = healthy_mask()
     conf, converged, used = _select(pass_rps, healthy)
     if not converged:
-        _log(f"WARNING: {name} passes never agreed within 10% "
-             f"({[round(r) for r in pass_rps]}); reporting the "
+        _log(f"WARNING: {name} passes never agreed within 10% with >= 3 "
+             f"healthy ({[round(r) for r in pass_rps]}); reporting the "
              f"confirmed (second-best) rate among healthy passes")
-    return conf, pass_rps, pass_health, metas, last
+    for m, h in zip(metas, healthy):
+        m["healthy"] = h
+    return conf, pass_rps, pass_health, metas, last, converged
 
 
 def bench_full(jax, idx, genome, batch_size=None, n_batches=6, health=None):
@@ -194,7 +218,7 @@ def bench_full(jax, idx, genome, batch_size=None, n_batches=6, health=None):
             pending = nxt
         return bt, results
 
-    rps, pass_rps, pass_health, metas, results = _run_passes(
+    rps, pass_rps, pass_health, metas, results, converged = _run_passes(
         "SE", one_pass, lambda med: batch_size / med, health, max_passes)
 
     total = batch_size * n_batches
@@ -246,6 +270,7 @@ def bench_full(jax, idx, genome, batch_size=None, n_batches=6, health=None):
         se_pass_rps=[round(r) for r in pass_rps],
         se_pass_health_ms=pass_health,
         se_passes=metas,
+        converged=converged,
         truth=ok, total=total, overflow_reads=novf,
         off_truth_classes=classes,
     ), al
@@ -299,7 +324,7 @@ def _pe_leg(jax, idx, al, genome, name, PB, n_batches, max_passes, health,
             pending = nxt
         return bt, cols1
 
-    rps, pass_rps, pass_health, metas, cols1 = _run_passes(
+    rps, pass_rps, pass_health, metas, cols1, converged = _run_passes(
         name, one_pass, lambda med: 2 * PB / med, health, max_passes)
 
     okp = proper = 0
@@ -310,7 +335,7 @@ def _pe_leg(jax, idx, al, genome, name, PB, n_batches, max_passes, health,
     _log(f"{name} PE truth (R1): {okp}/{totp}; "
          f"proper {100 * proper / totp:.1f}%")
     assert okp >= 0.95 * totp, f"{name} bench correctness check failed"
-    return rps, pass_rps, pass_health, metas, okp, totp, proper
+    return rps, pass_rps, pass_health, metas, okp, totp, proper, converged
 
 
 def bench_pe(jax, idx, genome, al, batch_size=None, n_batches=3, health=None):
@@ -322,11 +347,12 @@ def bench_pe(jax, idx, genome, al, batch_size=None, n_batches=3, health=None):
         batch_size = int(os.environ.get("BST_BENCH_BATCH", 16384))
     max_passes = int(os.environ.get("BST_BENCH_PE_PASSES", 4))
     PB = batch_size // 2  # pairs per batch -> batch_size device rows
-    rps, pass_rps, pass_health, metas, okp, totp, proper = _pe_leg(
+    rps, pass_rps, pass_health, metas, okp, totp, proper, conv = _pe_leg(
         jax, idx, al, genome, "PE", PB, n_batches, max_passes, health,
         seed0=700)
     return rps, dict(pe_pass_rps=[round(r) for r in pass_rps],
                      pe_pass_health_ms=pass_health, pe_passes=metas,
+                     pe_converged=conv,
                      pe_truth=okp, pe_total_pairs=totp,
                      pe_proper_pct=round(100 * proper / totp, 1))
 
@@ -351,11 +377,12 @@ def bench_chr20(jax, batch_size=None, n_batches=4, health=None):
     _log(f"chr20-scale index built in {time.time() - t0:.1f}s")
     al = Aligner.build(idx, AlignOptions(), mode="full")
     PB = batch_size // 2
-    rps, pass_rps, pass_health, metas, okp, totp, proper = _pe_leg(
+    rps, pass_rps, pass_health, metas, okp, totp, proper, conv = _pe_leg(
         jax, idx, al, genome, "chr20", PB, n_batches, max_passes, health,
         seed0=900, compile_log="chr20 compile+first pair batch")
     return rps, dict(chr20_pe_pass_rps=[round(r) for r in pass_rps],
                      chr20_pe_pass_health_ms=pass_health,
+                     chr20_pe_converged=conv,
                      chr20_pe_truth=okp, chr20_pe_total_pairs=totp,
                      chr20_pe_proper_pct=round(100 * proper / totp, 1))
 
@@ -423,6 +450,27 @@ def main() -> int:
                 stats["chr20_pe_reads_s"] = round(c_rps)
             except Exception as e:  # chr20 leg must not cost the headline
                 _log(f"chr20 leg failed ({type(e).__name__}: {e})")
+        if os.environ.get("BST_BENCH_GRCH38") == "1":
+            # config-4-class leg (VERDICT r4 item 6): a saved >=2 G-doubled
+            # int64-rank index in a SUBPROCESS (own x64 config + HBM);
+            # skips gracefully when the artifact is absent
+            import subprocess
+
+            gdir = os.environ.get("BST_GRCH38_INDEX",
+                                  __file__.rsplit("/", 1)[0] + "/.bigindex12")
+            if os.path.isdir(gdir):
+                try:
+                    r = subprocess.run(
+                        [sys.executable,
+                         __file__.rsplit("/", 1)[0]
+                         + "/tools/grch38_bench_leg.py", gdir],
+                        capture_output=True, text=True, timeout=3600)
+                    sys.stderr.write(r.stderr)
+                    stats.update(json.loads(r.stdout.strip().splitlines()[-1]))
+                except Exception as e:
+                    _log(f"grch38 leg failed ({type(e).__name__}: {e})")
+            else:
+                _log(f"grch38 leg skipped: no index at {gdir}")
     except Exception as e:  # compile budget / tunnel flakes: keep a result
         _log(f"full-pipeline bench failed ({type(e).__name__}: {e}); "
              "falling back to exact-match path")
