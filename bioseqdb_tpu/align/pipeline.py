@@ -81,6 +81,9 @@ def full_align_step(
     max_mem: int = 0,
     max_iters: int = 0,
     max_regs: int = 0,
+    seeder: str = "fm",
+    kmer_table=None,
+    kmer_meta=None,
 ):
     """Jitted full BWA-MEM device pipeline for one batch: SMEM seeding ->
     seed resolution -> chaining -> chain filter -> banded-SW extension.
@@ -123,13 +126,66 @@ def full_align_step(
             caps["max_mem"] = max_mem
     if max_iters:  # fat-cap overflow retry (Aligner.absorb_overflow)
         caps["max_iters"] = max_iters
-    mems = collect_seeds_device(
-        fm, codes, lens, min_seed_len=min_seed_len, split_len=split_len,
-        split_width=split_width, max_mem_intv=max_mem_intv,
-        jump_base=(table.jump_base if table else 0),
-        jump_depth=(table.jump_depth if table else 0),
-        sa_interval=sa_interval, kcand=kcand, **caps,
-    )
+    # long reads would exceed the kmer path's minimizer/diagonal caps on
+    # every lane (~2W/7 selected minimizers vs the 64-slot budget);
+    # they keep the FM state machine (short reads are the throughput
+    # target — BASELINE configs 2-5)
+    if seeder == "kmer" and codes.shape[1] > 320:
+        seeder = "fm"
+    if seeder == "kmer":
+        # minimizer-table seeding (kernels/kmer.py): rounds 1+3 from a
+        # handful of independent gathers, round 2 (when not provably
+        # empty) on the FM machine's reseed-only entry, hard cases ->
+        # overflow (fat FM retry / host oracle). VERDICT r4 item 1.
+        from bioseqdb_tpu.kernels import kmer as kkm
+
+        M_k = caps.get("max_mem") or 48
+        M_tot = M_k + 8
+        ko = kkm.collect_seeds_kmer(
+            kmer_table, pac_dev, fm.seq_len, codes, lens,
+            bb=kmer_meta.bb, min_seed_len=min_seed_len,
+            split_len=split_len, split_width=split_width,
+            max_mem_intv=max_mem_intv, smax=kkm.smax_for(max_mem_intv),
+            max_mem=M_k)
+        r2m = collect_seeds_device(
+            fm, codes, lens, min_seed_len=min_seed_len,
+            split_len=split_len, split_width=split_width,
+            max_mem_intv=0,  # machine runs ONLY round 2
+            jump_base=0, jump_depth=0, sa_interval=sa_interval, kcand=1,
+            max_cand=caps.get("max_cand") or max_cand or 24,
+            max_mem=M_tot, entry_reseed=True,
+            reseed_entry=dict(mem_s=ko["mem_s"], mem_b=ko["mem_b"],
+                              mem_e=ko["mem_e"], n_mem=ko["n_mem"],
+                              active=ko["needs_r2"]),
+            **({"max_iters": caps["max_iters"]} if "max_iters" in caps
+               else {}),
+        )
+        # assemble: machine output rows [0, n_kmer) are the preloaded
+        # kmer mems — overwrite their k column with the POSITION and
+        # set the (dead) l column to 1 as the pos-row flag
+        # (chain.resolve_seeds); rows beyond carry round-2 rank
+        # intervals untouched
+        m5 = r2m["mems"]
+        rdt = m5.dtype
+        isk = (jnp.arange(M_tot, dtype=jnp.int32)[None, :]
+               < ko["n_mem"][:, None])
+        posk = jnp.pad(ko["mem_pos"].astype(rdt),
+                       ((0, 0), (0, M_tot - M_k)))
+        mems = dict(
+            mems=jnp.stack(
+                [jnp.where(isk, posk, m5[:, :, 0]), isk.astype(rdt),
+                 m5[:, :, 2], m5[:, :, 3], m5[:, :, 4]], axis=2),
+            n_mem=r2m["n_mem"],
+            overflow=ko["overflow"] | r2m["overflow"],
+        )
+    else:
+        mems = collect_seeds_device(
+            fm, codes, lens, min_seed_len=min_seed_len, split_len=split_len,
+            split_width=split_width, max_mem_intv=max_mem_intv,
+            jump_base=(table.jump_base if table else 0),
+            jump_depth=(table.jump_depth if table else 0),
+            sa_interval=sa_interval, kcand=kcand, **caps,
+        )
     seeds = resolve_seeds(fm, mems["mems"], mems["n_mem"],
                           max_occ=max_occ, max_seeds=max_seeds,
                           sa_interval=sa_interval)
@@ -258,6 +314,7 @@ _STEP_STATICS = (
     "mask_level", "chain_drop_ratio", "sa_interval", "use_pallas_sw",
     "keep_mems", "table", "pack_cap", "pack_narrow",
     "max_cand", "kcand", "sw_sort", "max_mem", "max_iters", "max_regs",
+    "seeder", "kmer_meta",
 )
 
 
@@ -326,6 +383,8 @@ class Aligner:
     mesh: object = None
     fms: object = None    # FMSharded when the mesh has an "index" axis
     table: object = None  # SeedTable: unified seeding-table row map
+    kmer_table: object = None  # kernels/kmer.py KmerTable (device arrays)
+    kmer_meta: object = None   # KmerMeta (static) — None = FM seeder
 
     @classmethod
     def build(cls, index: FMIndex, options: AlignOptions | None = None,
@@ -373,14 +432,32 @@ class Aligner:
             fm, table = build_seed_table(fm, index, depth=force_d)
         else:
             pac_dev = None
+        kmer_table = kmer_meta = None
+        opts = options or AlignOptions()
+        if mode == "full":
+            # minimizer seeding table (kernels/kmer.py): default path
+            # when the index/options are parity-eligible; BST_SEEDER=fm
+            # keeps the FM state machine
+            from bioseqdb_tpu.kernels import kmer as kkm
+
+            want = os.environ.get("BST_SEEDER", "auto")
+            if want in ("auto", "kmer") and kkm.kmer_eligible(index, opts):
+                host, kmer_meta = index.kmer_table_arrays(kkm.build_kmer_table)
+                kmer_table = kkm.KmerTable(
+                    boff=jax.device_put(jnp.asarray(host["boff"]), device),
+                    entries=jax.device_put(jnp.asarray(host["entries"]),
+                                           device),
+                )
         return cls(
             index=index,
-            options=options or AlignOptions(),
+            options=opts,
             fm=fm,
             mode=mode,
             pac_dev=pac_dev,
             mesh=mesh,
             table=table,
+            kmer_table=kmer_table,
+            kmer_meta=kmer_meta,
         )
 
     def _put_batch(self, batch: ReadBatch):
@@ -524,6 +601,9 @@ class Aligner:
         common.update(
             kcand=int(os.environ.get("BST_KCAND", "1")),
             sw_sort=os.environ.get("BST_SW_SORT", "1") != "0",
+            seeder=("kmer" if self.kmer_meta is not None else "fm"),
+            kmer_table=self.kmer_table,
+            kmer_meta=self.kmer_meta,
         )
         return common, narrow
 
@@ -591,6 +671,9 @@ class Aligner:
             max_seeds=max(2 * common["max_seeds"], 128),
             max_chains=2 * common["max_chains"],
             max_iters=3 * (10 * W + 256), max_regs=16,
+            # retried rows are exactly the ones the kmer fast path
+            # could not hold exact — the retry must run the FM seeder
+            seeder="fm", kmer_table=None, kmer_meta=None,
         )
         return jax.device_get(_full_align_step_jit(
             self.fm, self.pac_dev, jnp.asarray(codes), jnp.asarray(lens),

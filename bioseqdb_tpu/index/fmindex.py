@@ -280,6 +280,40 @@ class FMIndex:
         object.__setattr__(self, "_pacrows_cache", rows)
         return rows
 
+    def kmer_table_arrays(self, build_fn):
+        """Genome minimizer-table arrays for the kmer seeder (build_fn =
+        kernels.kmer.build_kmer_table), cached in memory and — for
+        disk-loaded indexes — on disk next to the index arrays (the
+        chr20-scale build costs ~a minute of host numpy)."""
+        cached = getattr(self, "_kmer_cache", None)
+        if cached is not None:
+            return cached
+        path = getattr(self, "_load_path", None)
+        fpath = os.path.join(path, "kmer_table.npz") if path else None
+        host = meta = None
+        if fpath and os.path.exists(fpath):
+            try:
+                z = np.load(fpath)
+                if int(z["version"]) == 1:
+                    host = dict(boff=z["boff"], entries=z["entries"])
+                    meta = (int(z["bb"]), int(z["n_entries"]))
+            except Exception:
+                host = None
+        if host is None:
+            host, m = build_fn(np.asarray(self.pac))
+            meta = (m.bb, m.n_entries)
+            if fpath:
+                try:
+                    np.savez(fpath, version=1, bb=m.bb,
+                             n_entries=m.n_entries, **host)
+                except OSError:
+                    pass  # read-only index dir: keep the in-memory copy
+        from bioseqdb_tpu.kernels.kmer import KmerMeta
+
+        out = (host, KmerMeta(bb=meta[0], n_entries=meta[1]))
+        object.__setattr__(self, "_kmer_cache", out)
+        return out
+
     # -- coordinate mapping ----------------------------------------------
 
     def depos(self, pos: int, length: int) -> tuple[int, bool]:

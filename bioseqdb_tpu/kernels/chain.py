@@ -55,6 +55,13 @@ def resolve_seeds(
     valid bool[B, S], frac_rep-style rep length not included here.
     Seed order matches the oracle: intervals ascending (start, end),
     positions by sampled rank order within each interval.
+
+    Position-carrying rows (kernels/kmer.py): a mem row whose l column
+    (mems[:, :, 1]) is nonzero carries a doubled-text POSITION in its k
+    column instead of a rank interval (always s == 1). Such rows skip
+    SA resolution entirely — their position is spliced in directly.
+    The l column is dead everywhere else (seed.py mems layout note), so
+    rank rows always carry l == 0 here.
     """
     B, M, _ = mems.shape
     S = max_seeds
@@ -88,8 +95,9 @@ def resolve_seeds(
     end = take(sm[:, :, 4])
     stp = take(step)
     ofs = take(off)
+    isposrow = take(sm[:, :, 1]) > 0  # position-carrying rows (see doc)
     t = ss - ofs
-    ranks = jnp.where(valid, k0 + t * stp, 1)
+    ranks = jnp.where(valid & ~isposrow, k0 + t * stp, 1)
 
     # Most of the (B, S) rank table is padding (reads rarely fill all S
     # slots), and every sa_resolve step gathers two table rows per LANE.
@@ -99,7 +107,7 @@ def resolve_seeds(
     K = (B * S) // 4
     if B * S > 4096:
         i32 = jnp.int32
-        fvalid = valid.reshape(-1)
+        fvalid = (valid & ~isposrow).reshape(-1)
         franks = ranks.reshape(-1)
         cpos = jnp.cumsum(fvalid.astype(i32)) - 1
         slot = jnp.where(fvalid, jnp.minimum(cpos, K - 1), K)
@@ -119,6 +127,7 @@ def resolve_seeds(
         overflow = overflow | truncated.any(axis=1)
     else:
         pos = kfm.sa_resolve(fm, ranks, sa_interval, axis=shard_axis)
+    pos = jnp.where(isposrow, k0, pos)  # position rows bypass the SA walk
     slen = end - start
 
     # bns_intv2rid: drop seeds bridging strand or reference boundaries

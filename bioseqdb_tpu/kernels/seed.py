@@ -273,7 +273,7 @@ def _pack_streams(codes: jnp.ndarray, jump_depth: int):
     static_argnames=("min_seed_len", "split_width", "max_mem_intv", "split_len",
                      "max_cand", "max_mem", "max_iters", "shard_axis",
                      "jump_base", "jump_depth", "sa_interval", "kcand",
-                     "share_fetch"),
+                     "share_fetch", "entry_reseed"),
 )
 def collect_seeds_device(
     fm: kfm.FMDevice,
@@ -293,6 +293,8 @@ def collect_seeds_device(
     kcand: int = 1,
     quad_rows: jnp.ndarray | None = None,
     share_fetch: bool = True,
+    entry_reseed: bool = False,
+    reseed_entry: dict | None = None,
 ):
     """Run all three seeding rounds for a batch of reads.
 
@@ -423,6 +425,27 @@ def collect_seeds_device(
         st["sr_same"] = jnp.zeros(B, i32)  # fetch pair in one octo row
     # lanes with no bases never run
     st["phase"] = jnp.where(lens > 0, PH_PIVOT, PH_DONE)
+
+    if entry_reseed:
+        # Reseed-only entry (the kmer seeder's round-2 leg,
+        # kernels/kmer.py): rounds 1 and 3 were computed elsewhere;
+        # preload their mems (s/b/e; k is never read by round 2) and
+        # start the machine directly in RD_RESEED. Callers pass
+        # max_mem_intv=0 so the machine ends after round 2. The
+        # dependent trip is the reseed pivots' alone (~tens of steps
+        # on the rare lanes that need it, vs ~600 for a full trip).
+        pre = reseed_entry
+        M0 = pre["mem_s"].shape[1]
+        npad = ((0, 0), (0, M - M0))
+        ld = lambda a: jnp.pad(a.astype(rdt), npad)
+        st["mem_s"] = ld(pre["mem_s"])
+        st["mem_b"] = ld(pre["mem_b"])
+        st["mem_e"] = ld(pre["mem_e"])
+        st["n_mem"] = pre["n_mem"].astype(i32)
+        st["n_mem_r1"] = pre["n_mem"].astype(i32)
+        st["round"] = jnp.full(B, RD_RESEED, i32)
+        st["phase"] = jnp.where(pre["active"] & (lens > 0),
+                                PH_PIVOT, PH_DONE)
 
     u32 = jnp.uint32
     as_u32 = lambda w: jax.lax.bitcast_convert_type(w, u32)
@@ -1004,7 +1027,10 @@ def collect_seeds_device(
 
     sizes = []
     b = B
-    while b >= 1024:
+    # reseed-only entries start with a handful of live lanes, so deeper
+    # compaction levels pay for themselves immediately
+    floor = 256 if entry_reseed else 1024
+    while b >= floor:
         b //= 2 if not sizes else 4
         sizes.append(b)
     st = run_compacting(st, sizes)
