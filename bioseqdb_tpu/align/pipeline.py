@@ -141,11 +141,13 @@ def full_align_step(
 
         M_k = caps.get("max_mem") or 48
         M_tot = M_k + 8
+        nmz = kkm.nmz_for(int(codes.shape[1]))
         ko = kkm.collect_seeds_kmer(
             kmer_table, pac_dev, fm.seq_len, codes, lens,
             bb=kmer_meta.bb, min_seed_len=min_seed_len,
             split_len=split_len, split_width=split_width,
             max_mem_intv=max_mem_intv, smax=kkm.smax_for(max_mem_intv),
+            dmax=kkm.dmax_for(kmer_meta, nmz), nmz=nmz,
             max_mem=M_k)
         r2m = collect_seeds_device(
             fm, codes, lens, min_seed_len=min_seed_len,
@@ -186,9 +188,12 @@ def full_align_step(
             jump_depth=(table.jump_depth if table else 0),
             sa_interval=sa_interval, kcand=kcand, **caps,
         )
-    seeds = resolve_seeds(fm, mems["mems"], mems["n_mem"],
-                          max_occ=max_occ, max_seeds=max_seeds,
-                          sa_interval=sa_interval)
+    seeds = resolve_seeds(
+        fm, mems["mems"], mems["n_mem"], max_occ=max_occ,
+        max_seeds=max_seeds, sa_interval=sa_interval,
+        # kmer path: only round-2 rank rows walk the SA (rare lanes);
+        # the fixed-trip walk costs by static lane count
+        compact_cap=(4096 if seeder == "kmer" else 0))
     chains = chain_seeds(fm, seeds, max_chains=max_chains,
                          bandwidth=bandwidth, max_chain_gap=max_chain_gap)
     flt = filter_chains(chains, seeds, mask_level=mask_level,
@@ -444,7 +449,7 @@ class Aligner:
             if want in ("auto", "kmer") and kkm.kmer_eligible(index, opts):
                 host, kmer_meta = index.kmer_table_arrays(kkm.build_kmer_table)
                 kmer_table = kkm.KmerTable(
-                    boff=jax.device_put(jnp.asarray(host["boff"]), device),
+                    bmeta=jax.device_put(jnp.asarray(host["bmeta"]), device),
                     entries=jax.device_put(jnp.asarray(host["entries"]),
                                            device),
                 )

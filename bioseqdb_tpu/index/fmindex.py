@@ -294,23 +294,25 @@ class FMIndex:
         if fpath and os.path.exists(fpath):
             try:
                 z = np.load(fpath)
-                if int(z["version"]) == 1:
-                    host = dict(boff=z["boff"], entries=z["entries"])
-                    meta = (int(z["bb"]), int(z["n_entries"]))
+                if int(z["version"]) == 2:
+                    host = dict(bmeta=z["bmeta"], entries=z["entries"])
+                    meta = (int(z["bb"]), int(z["n_entries"]),
+                            int(z["nrows0"]))
             except Exception:
                 host = None
         if host is None:
             host, m = build_fn(np.asarray(self.pac))
-            meta = (m.bb, m.n_entries)
+            meta = (m.bb, m.n_entries, m.nrows0)
             if fpath:
                 try:
-                    np.savez(fpath, version=1, bb=m.bb,
-                             n_entries=m.n_entries, **host)
+                    np.savez(fpath, version=2, bb=m.bb,
+                             n_entries=m.n_entries, nrows0=m.nrows0, **host)
                 except OSError:
                     pass  # read-only index dir: keep the in-memory copy
         from bioseqdb_tpu.kernels.kmer import KmerMeta
 
-        out = (host, KmerMeta(bb=meta[0], n_entries=meta[1]))
+        out = (host, KmerMeta(bb=meta[0], n_entries=meta[1],
+                              nrows0=meta[2]))
         object.__setattr__(self, "_kmer_cache", out)
         return out
 

@@ -38,7 +38,8 @@ NEG = -(1 << 30)  # plain int: a module-level jnp scalar would be created UNDER
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_occ", "max_seeds", "shard_axis", "sa_interval")
+    jax.jit, static_argnames=("max_occ", "max_seeds", "shard_axis",
+                              "sa_interval", "compact_cap")
 )
 def resolve_seeds(
     fm: kfm.FMDevice,
@@ -48,6 +49,7 @@ def resolve_seeds(
     max_seeds: int,
     shard_axis: str | None = None,
     sa_interval: int = 32,
+    compact_cap: int = 0,
 ):
     """Expand seed intervals into located seeds.
 
@@ -104,7 +106,12 @@ def resolve_seeds(
     # Compact the valid lanes into a 4x narrower buffer first; lanes
     # beyond the compact capacity (implausible in practice: it means
     # > S/4 located seeds per read on batch average) overflow to host.
+    # The walk's cost scales with the STATIC lane count K, so callers
+    # who know almost every seed skips resolution (the kmer path: only
+    # round-2 rank rows walk) pass a small ``compact_cap``.
     K = (B * S) // 4
+    if compact_cap > 0:
+        K = min(K, compact_cap)
     if B * S > 4096:
         i32 = jnp.int32
         fvalid = (valid & ~isposrow).reshape(-1)

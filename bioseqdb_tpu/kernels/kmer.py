@@ -108,18 +108,29 @@ class KmerMeta(typing.NamedTuple):
 
     bb: int          # bucket bits (bucket id = key >> (2K - bb))
     n_entries: int
+    nrows0: int      # rows in the unshifted half of ``entries``
 
 
 class KmerTable(typing.NamedTuple):
     """Device arrays of the genome minimizer table (a pytree).
 
-    boff:    int32[2^bb + 1] cumulative bucket offsets into entries
-    entries: int32[nrows, 32] 16 (pos, low) pairs per 128-byte row;
-             entry j sits at row j>>4, cols (2*(j&15), 2*(j&15)+1);
-             padding entries carry low = -1 (matches nothing)
+    bmeta:   int32[2^bb] per-bucket (offset << 4) | min(count, 15) —
+             ONE element gather per lookup (counts above the scan cap
+             smax < 15 mean "capped")
+    entries: int32[nrows0 + nrows1, 32] — ONE int32 per entry,
+             (pos << low_bits) | low_key (bb is floored at build time
+             so the pack fits 32 bits), 32 entries per 128-byte row,
+             stored TWICE: rows [0, nrows0) hold entry j at row j>>5;
+             rows [nrows0, ...) the same stream shifted by 16 entries.
+             Any <= 8 consecutive entries then live in ONE row of one
+             copy (pick by (off & 31) > 24), so a lookup is a single
+             row gather. Slots past a bucket's count are never read
+             (the scan is gated by the stored count), so padding and
+             neighboring-bucket entries in the gathered window are
+             harmless.
     """
 
-    boff: jnp.ndarray
+    bmeta: jnp.ndarray
     entries: jnp.ndarray
 
 
@@ -166,27 +177,38 @@ def build_kmer_table(pac: np.ndarray) -> tuple[dict, KmerMeta]:
     pos_s = sel_pos[order]
     ne = len(pos_s)
     assert 2 * n_f < (1 << 31), "kmer table requires int32 positions"
-    # bucket bits: load factor ~<= 1.25 chance keys per bucket
+    assert ne < (1 << 27), "bmeta packs offsets into 27 bits"
+    # bucket bits: load factor ~<= 1.25 chance keys per bucket, floored
+    # so (pos << low_bits | low) packs into 32 bits
+    bits_pos = max(int(2 * n_f - 1).bit_length(), 1)
+    bb_pack = bits_pos + 2 * K - 32  # low_bits <= 32 - bits_pos
     bb = 2 * K
     if ne > 0:
         bb = int(np.ceil(np.log2(max(ne / 1.25, 2))))
-    bb = max(14, min(bb, 26, 2 * K))
+    bb = max(14, bb, bb_pack)
+    bb = min(bb, 26, 2 * K)
+    assert bb >= bb_pack, "doubled text too large for packed entries"
     low_bits = 2 * K - bb
     bucket = (keys_s >> np.uint32(low_bits)).astype(np.int64)
     cnts = np.bincount(bucket, minlength=1 << bb)
-    boff = np.zeros((1 << bb) + 1, np.int64)
-    np.cumsum(cnts, out=boff[1:])
-    assert boff[-1] == ne
-    low = (keys_s & np.uint32((1 << low_bits) - 1)).astype(np.int32)
-    nrows = ne // 16 + 2  # guard row: row (j>>4)+1 always gatherable
-    flat = np.empty(nrows * 32, np.int32)
-    flat[0::2] = 0
-    flat[1::2] = -1  # padding low: matches nothing
-    flat[0 : 2 * ne : 2] = pos_s.astype(np.int32)
-    flat[1 : 2 * ne : 2] = low
+    off = np.zeros(1 << bb, np.int64)
+    np.cumsum(cnts[:-1], out=off[1:])
+    bmeta = ((off << 4) | np.minimum(cnts, 15)).astype(np.int32)
+    low = keys_s.astype(np.uint32) & np.uint32((1 << low_bits) - 1)
+    packed = ((pos_s.astype(np.uint32) << np.uint32(low_bits)) | low
+              ).view(np.int32)
+    # entries stored twice (plain + shifted-by-16) so any <= 8
+    # consecutive entries sit in ONE 32-entry row of one copy
+    nrows0 = ne // 32 + 1
+    flat = np.full(nrows0 * 32, -1, np.int32)
+    flat[:ne] = packed
+    e0 = flat.reshape(nrows0, 32)
+    flat1 = np.full((nrows0 + 1) * 32, -1, np.int32)
+    flat1[: nrows0 * 32 - 16] = flat[16:]
+    e1 = flat1.reshape(nrows0 + 1, 32)
     return (
-        dict(boff=boff.astype(np.int32), entries=flat.reshape(nrows, 32)),
-        KmerMeta(bb=bb, n_entries=ne),
+        dict(bmeta=bmeta, entries=np.concatenate([e0, e1])),
+        KmerMeta(bb=bb, n_entries=ne, nrows0=nrows0),
     )
 
 
@@ -213,10 +235,30 @@ def kmer_eligible(idx, options) -> bool:
 def smax_for(max_mem_intv: int) -> int:
     """Occurrence-scan cap: counts above it fall back; must stay below
     max_mem_intv so the round-3 scan provably stops at its first
-    eligible check (module docstring)."""
+    eligible check (module docstring), and <= 8 so a bucket scan is one
+    row gather (KmerTable layout)."""
     if max_mem_intv <= 0:  # round 3 disabled: no constraint from it
-        return 12
-    return min(12, max_mem_intv - 1)
+        return 8
+    return min(8, max_mem_intv - 1)
+
+
+def dmax_for(meta: "KmerMeta", nmz: int = 48) -> int:
+    """Diagonal-slot budget: expected chance hits per read are
+    ~nmz * n_entries / 4^K (table keys matched by random k-mers), plus
+    a few true diagonals; a +6-sigma margin keeps overflow-fallback
+    negligible. Chunked folds process 8 diagonals at a time."""
+    lam = nmz * meta.n_entries / float(4 ** K)
+    d = int(lam + max(6.0 * lam ** 0.5, 5.0) + 2.0)
+    return min(40, max(8, -(-d // 8) * 8))
+
+
+def nmz_for(width: int) -> int:
+    """Minimizer-slot budget per read: expected selections are
+    ~2/(WIN+1) of the k-mer positions (measured 38.7 +- 3 for 151bp,
+    max 49 over 3000 reads); cap with headroom (overflow falls back to
+    the FM machine)."""
+    NP = max(width - K + 1, 1)
+    return max(56, -(-int(0.33 * NP) // 8) * 8)
 
 
 # -- device kernel ---------------------------------------------------------
@@ -287,7 +329,8 @@ def _match_reach(pac32, seq_len, cpk, amb_codes, diags, dvalid, W):
 @functools.partial(
     jax.jit,
     static_argnames=("bb", "smax", "dmax", "nmz", "min_seed_len",
-                     "split_len", "split_width", "max_mem_intv", "max_mem"),
+                     "split_len", "split_width", "max_mem_intv", "max_mem",
+                     "stage"),
 )
 def collect_seeds_kmer(
     kt: KmerTable,
@@ -304,6 +347,7 @@ def collect_seeds_kmer(
     dmax: int = 24,
     nmz: int = 64,
     max_mem: int = 16,
+    stage: str = "all",
 ):
     """Rounds 1 and 3 of BWA-MEM seeding from the minimizer table.
 
@@ -344,7 +388,11 @@ def collect_seeds_kmer(
     kvalid = kvalid & (jnp.arange(NP, dtype=i32)[None, :] + K
                        <= lens[:, None])
     h = jnp.where(kvalid, _mix32(km), _UMAX)
+    if stage == "hash":  # profiling cut points (tools/ab_kmer_seed.py)
+        return h
     sel = _select_minimizers(h, NW)
+    if stage == "select":
+        return sel
 
     # compact selected positions (+ keys/validity payload) to nmz slots
     skey = jnp.where(sel, jnp.arange(NP, dtype=i32)[None, :], _BIG)
@@ -356,40 +404,56 @@ def collect_seeds_kmer(
     mzok = (mzpos < _BIG) & (kval_s[:, :nmz_c] > 0)
     mz_overflow = (skey_s[:, nmz_c] < _BIG) if NP > nmz_c \
         else jnp.zeros(B, jnp.bool_)
+    if stage == "mzcompact":
+        return mzpos + mzkey.astype(i32)
 
-    # ---- table lookups: 2 offset gathers + 2 entry-row gathers ----
+    # ---- table lookups: 1 element gather + 1 entry-row gather ----
     low_bits = 2 * K - bb
     bkt = (mzkey >> u32(low_bits)).astype(i32)
     bkt = jnp.where(mzok, bkt, 0)
-    o0 = kt.boff[bkt]
-    o1 = kt.boff[bkt + 1]
-    cnt = o1 - o0
+    bm = kt.bmeta[bkt]
+    o0 = bm >> 4
+    cnt = bm & 15
     capped = mzok & (cnt > smax)
-    r0 = o0 >> 4
+    # <= 8 consecutive entries always sit in ONE row of one of the two
+    # shifted copies (KmerTable docstring)
+    nrows0 = (kt.entries.shape[0] - 1) // 2
+    col0 = o0 & 31
+    use1 = col0 > 24
+    row = jnp.where(use1, nrows0 + ((o0 - 16) >> 5), o0 >> 5)
+    col = jnp.where(use1, col0 - 16, col0)
     erows = kt.entries[
-        jnp.clip(jnp.stack([r0, r0 + 1], -1), 0, kt.entries.shape[0] - 1)
-    ].reshape(B * nmz_c, 64)
+        jnp.clip(row, 0, kt.entries.shape[0] - 1)].reshape(B * nmz_c, 32)
     aligned = dense.shift_left(
-        erows, (2 * (o0 & 15)).reshape(-1), 32)[:, : 2 * smax]
-    aligned = aligned.reshape(B, nmz_c, 2 * smax)
-    e_pos = aligned[..., 0::2]
-    e_low = aligned[..., 1::2]                      # (B, nmz, smax)
+        erows, col.reshape(-1), 24)[:, :smax]
+    ev = jax.lax.bitcast_convert_type(
+        aligned.reshape(B, nmz_c, smax), u32)
+    e_pos = (ev >> u32(low_bits)).astype(i32)
+    e_low = (ev & u32((1 << low_bits) - 1)).astype(i32)
     t_ok = jnp.arange(smax, dtype=i32)[None, None, :] < cnt[:, :, None]
     lowq = (mzkey & u32((1 << low_bits) - 1)).astype(i32)
     hit = (mzok & ~capped)[:, :, None] & t_ok & (e_low == lowq[:, :, None])
     diag_all = jnp.where(hit, e_pos - mzpos[:, :, None], _BIG)
+    if stage == "lookup":
+        return diag_all
 
-    # ---- dedup diagonals (sort -> unique -> compact) ----
+    # ---- dedup diagonals: successive masked minima (dmax is small, so
+    # dmax passes of a (B, nmz*smax) min-reduce beat two full sorts —
+    # measured 26 ms -> ~4 ms at B=16K) ----
     flat = diag_all.reshape(B, nmz_c * smax)
-    s1 = jnp.sort(flat, axis=1)
-    uniq = (s1 < _BIG) & (s1 != jnp.pad(
-        s1[:, :-1], ((0, 0), (1, 0)), constant_values=-(1 << 30)))
-    s2 = jnp.sort(jnp.where(uniq, s1, _BIG), axis=1)
-    DC = min(dmax, s2.shape[1])
-    diags = s2[:, :DC]
+    DC = min(dmax, flat.shape[1])
+    cur = jnp.full((B,), -(1 << 30), i32)
+    dlist = []
+    for _ in range(DC):
+        nxt = jnp.where(flat > cur[:, None], flat, _BIG).min(axis=1)
+        dlist.append(nxt)
+        cur = jnp.where(nxt < _BIG, nxt, cur)
+    diags = jnp.stack(dlist, axis=1)
     dvalid = diags < _BIG
-    d_overflow = (s2[:, DC] < _BIG) if s2.shape[1] > DC \
-        else jnp.zeros(B, jnp.bool_)
+    d_overflow = (jnp.where(flat > cur[:, None], flat, _BIG).min(axis=1)
+                  < _BIG)
+    if stage == "dedup":
+        return diags
 
     # ---- per-diagonal reach -> top-2 statistics over diagonals ----
     from bioseqdb_tpu.kernels.seed import _pack_streams
@@ -421,6 +485,8 @@ def collect_seeds_kmer(
     posW = posW0
     R1 = jnp.maximum(R1, posW)  # no diagonal: empty reach
     R2 = jnp.maximum(R2, posW)
+    if stage == "reach":
+        return R1 + R2 + cnt_r3
     d1 = dense.lookup(diags, I1)  # diagonal value of the argmax, (B, W)
 
     # ---- round 1: SMEMs = strict increases of E = R1 ----
@@ -453,6 +519,8 @@ def collect_seeds_kmer(
     lr_at = dense.lookup(last_rep, pivot)            # (B, M)
     needs_p = trigger & (lr_at >= 0) & (lr_at > pivot - msl)
     needs_r2 = needs_p.any(axis=1)
+    if stage == "r1":
+        return dict(mem_b=mem_b, mem_e=mem_e, needs_r2=needs_r2)
 
     # ---- round 3: deterministic successor chase ----
     n_mem = n_r1

@@ -61,7 +61,7 @@ def oracle_rounds(idx, opt, q):
 def kmer_setup(g):
     idx = build_index([("g", g)])
     host, meta = km.build_kmer_table(idx.pac)
-    kt = km.KmerTable(boff=jnp.asarray(host["boff"]),
+    kt = km.KmerTable(bmeta=jnp.asarray(host["bmeta"]),
                       entries=jnp.asarray(host["entries"]))
     pac_dev = jnp.asarray(idx.packed_doubled_rows(pack_doubled_rows))
     return idx, kt, meta, pac_dev
@@ -152,7 +152,7 @@ def test_mems_parity_repeats_and_multiref():
     b2 = simulate_genome(9_000, seed=25)
     idx = build_index([("chrA", g), ("chrB", b2)])
     host, meta = km.build_kmer_table(idx.pac)
-    kt = km.KmerTable(boff=jnp.asarray(host["boff"]),
+    kt = km.KmerTable(bmeta=jnp.asarray(host["bmeta"]),
                       entries=jnp.asarray(host["entries"]))
     pac_dev = jnp.asarray(idx.packed_doubled_rows(pack_doubled_rows))
     opt = AlignOptions()

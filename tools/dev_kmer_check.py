@@ -107,7 +107,7 @@ def check_mems_parity(rng, glen=80_000, n_reads=160, plant_repeats=0,
     idx = build_index([("g", g)])
     opt = AlignOptions()
     host, meta = km.build_kmer_table(idx.pac)
-    kt = km.KmerTable(boff=jnp.asarray(host["boff"]),
+    kt = km.KmerTable(bmeta=jnp.asarray(host["bmeta"]),
                       entries=jnp.asarray(host["entries"]))
     pac_dev = jnp.asarray(idx.packed_doubled_rows(pack_doubled_rows))
 
@@ -191,7 +191,7 @@ def check_r2_machine(rng, glen=60_000, n_reads=64):
     idx = build_index([("g", g)])
     opt = AlignOptions()
     host, meta = km.build_kmer_table(idx.pac)
-    kt = km.KmerTable(boff=jnp.asarray(host["boff"]),
+    kt = km.KmerTable(bmeta=jnp.asarray(host["bmeta"]),
                       entries=jnp.asarray(host["entries"]))
     pac_dev = jnp.asarray(idx.packed_doubled_rows(pack_doubled_rows))
     sim = simulate_reads(g, n_reads, read_len=150, sub_rate=0.01,
