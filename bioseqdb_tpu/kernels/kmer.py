@@ -582,7 +582,16 @@ def collect_seeds_kmer(
 
     overflow = (mz_overflow | capped.any(axis=1) | d_overflow
                 | multi1.any(axis=1) | r1_overflow | r3_multi | r3_stuck)
+    # fallback-cause bitmask (telemetry; tools/ab_kmer_seed.py)
+    why = (mz_overflow.astype(i32)
+           | (capped.any(axis=1).astype(i32) << 1)
+           | (d_overflow.astype(i32) << 2)
+           | (multi1.any(axis=1).astype(i32) << 3)
+           | (r1_overflow.astype(i32) << 4)
+           | (r3_multi.astype(i32) << 5)
+           | (r3_stuck.astype(i32) << 6))
     return dict(
         mem_pos=mem_pos, mem_s=mem_s, mem_b=mem_b, mem_e=mem_e,
         n_mem=n_mem, needs_r2=needs_r2 & ~overflow, overflow=overflow,
+        why=why,
     )

@@ -38,9 +38,10 @@ def main():
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    glen = int(sys.argv[3]) if len(sys.argv) > 3 else 4_600_000
 
     t0 = time.time()
-    g = simulate_genome(4_600_000, seed=1)
+    g = simulate_genome(glen, seed=1)
     idx = build_index([("ecoli", g)])
     log(f"index built {time.time()-t0:.0f}s")
     opt = AlignOptions()
@@ -59,26 +60,29 @@ def main():
     max_occ = opt.resolve_max_occ(idx.n_refs)
     smax = kkm.smax_for(opt.max_mem_intv)
 
-    def fm_collect(codes, lens):
+    def fm_collect(fm, codes, lens):
         return collect_seeds_device(
             fm, codes, lens, min_seed_len=opt.min_seed_len,
             split_len=split_len, split_width=opt.split_width,
             max_mem_intv=opt.max_mem_intv, jump_base=table.jump_base,
             jump_depth=table.jump_depth, max_cand=16, max_mem=16)
 
+    # tables ride as jit ARGS — closed-over arrays are baked into the
+    # compile payload as constants (HTTP 413 at chr20 scale)
+
     nmz = kkm.nmz_for(int(codes.shape[1]))
     dmax = kkm.dmax_for(meta, nmz)
     log(f"nmz={nmz} dmax={dmax} smax={smax} bb={meta.bb} "
         f"entries={meta.n_entries}")
 
-    def kmer_collect(codes, lens):
+    def kmer_collect(kt, pac_dev, fm, codes, lens):
         return kkm.collect_seeds_kmer(
             kt, pac_dev, fm.seq_len, codes, lens, bb=meta.bb,
             min_seed_len=opt.min_seed_len, split_len=split_len,
             split_width=opt.split_width, max_mem_intv=opt.max_mem_intv,
             smax=smax, dmax=dmax, nmz=nmz, max_mem=16)
 
-    def r2_machine(ko, codes, lens):
+    def r2_machine(fm0, ko, codes, lens):
         return collect_seeds_device(
             fm0, codes, lens, min_seed_len=opt.min_seed_len,
             split_len=split_len, split_width=opt.split_width,
@@ -103,40 +107,40 @@ def main():
                             jax.tree_util.tree_leaves(tree))
 
     @jax.jit
-    def J_fm1(codes, lens):
-        return csum(fm_collect(codes, lens))
+    def J_fm1(fm, codes, lens):
+        return csum(fm_collect(fm, codes, lens))
 
     @jax.jit
-    def J_fm2(codes, lens):
-        m = fm_collect(codes, lens)
+    def J_fm2(fm, codes, lens):
+        m = fm_collect(fm, codes, lens)
         s = resolve_seeds(fm, m["mems"], m["n_mem"], max_occ=max_occ,
                           max_seeds=64)
         return csum(s)
 
     @jax.jit
-    def J_k1(codes, lens):
-        return csum(kmer_collect(codes, lens))
+    def J_k1(kt, pac_dev, fm, codes, lens):
+        return csum(kmer_collect(kt, pac_dev, fm, codes, lens))
 
     @jax.jit
-    def J_k2(codes, lens):
-        ko = kmer_collect(codes, lens)
-        return csum(r2_machine(ko, codes, lens))
+    def J_k2(kt, pac_dev, fm0, codes, lens):
+        ko = kmer_collect(kt, pac_dev, fm0, codes, lens)
+        return csum(r2_machine(fm0, ko, codes, lens))
 
     @jax.jit
-    def J_k3(codes, lens):
-        ko = kmer_collect(codes, lens)
-        r2m = r2_machine(ko, codes, lens)
+    def J_k3(kt, pac_dev, fm0, codes, lens):
+        ko = kmer_collect(kt, pac_dev, fm0, codes, lens)
+        r2m = r2_machine(fm0, ko, codes, lens)
         mems5 = assemble(ko, r2m)
         s = resolve_seeds(fm0, mems5, r2m["n_mem"], max_occ=max_occ,
                           max_seeds=64)
         return csum(s)
 
-    def timeit(name, fn):
-        jax.device_get(fn(codes, lens))  # compile+warm
+    def timeit(name, fn, *args):
+        jax.device_get(fn(*args, codes, lens))  # compile+warm
         ts = []
         for _ in range(reps):
             t0 = time.time()
-            jax.device_get(fn(codes, lens))
+            jax.device_get(fn(*args, codes, lens))
             ts.append(time.time() - t0)
         log(f"{name}: median {1e3*sorted(ts)[len(ts)//2]:.1f} ms  "
             f"({' '.join(f'{1e3*t:.0f}' for t in ts)})")
@@ -144,7 +148,7 @@ def main():
     # internal cut points of the kmer kernel (cumulative)
     def k_stage(st):
         @jax.jit
-        def f(codes, lens):
+        def f(kt, pac_dev, fm, codes, lens):
             return csum(kkm.collect_seeds_kmer(
                 kt, pac_dev, fm.seq_len, codes, lens, bb=meta.bb,
                 min_seed_len=opt.min_seed_len, split_len=split_len,
@@ -155,12 +159,12 @@ def main():
 
     for st in ("hash", "select", "mzcompact", "lookup", "dedup", "reach",
                "r1"):
-        timeit(f"kmer..{st:<16}", k_stage(st))
-    timeit("fm collect            ", J_fm1)
-    timeit("fm collect+resolve    ", J_fm2)
-    timeit("kmer collect          ", J_k1)
-    timeit("kmer collect+r2       ", J_k2)
-    timeit("kmer full (c+r2+res)  ", J_k3)
+        timeit(f"kmer..{st:<16}", k_stage(st), kt, pac_dev, fm0)
+    timeit("fm collect            ", J_fm1, fm)
+    timeit("fm collect+resolve    ", J_fm2, fm)
+    timeit("kmer collect          ", J_k1, kt, pac_dev, fm0)
+    timeit("kmer collect+r2       ", J_k2, kt, pac_dev, fm0)
+    timeit("kmer full (c+r2+res)  ", J_k3, kt, pac_dev, fm0)
 
 
 if __name__ == "__main__":
