@@ -321,9 +321,11 @@ def _match_reach(pac32, seq_len, cpk, amb_codes, diags, dvalid, W):
     tref = s0[:, :, None] + pos
     match = (match & ~amb_codes[:, None, :] & dvalid[:, :, None]
              & (tref >= 0) & (tref < seq_len))
-    nz = jnp.where(match, _BIG, pos)
+    # int16 positions (W <= a few thousand): halves the bytes of the
+    # largest per-chunk tensor and its cummin
+    nz = jnp.where(match, jnp.int16(0x7FFF), pos.astype(jnp.int16))
     reach = jnp.flip(jax.lax.cummin(jnp.flip(nz, axis=2), axis=2), axis=2)
-    return jnp.minimum(reach, W)
+    return jnp.minimum(reach, jnp.int16(W)).astype(i32)
 
 
 @functools.partial(
@@ -379,12 +381,20 @@ def collect_seeds_kmer(
         return out0
 
     # ---- read k-mers + minimizer selection ----
-    km = jnp.zeros((B, NP), u32)
-    kvalid = jnp.ones((B, NP), jnp.bool_)
-    for t in range(K):
-        col = codes[:, t : t + NP]
-        km = (km << u32(2)) | (col & 3).astype(u32)
-        kvalid = kvalid & (col < 4)
+    # log-doubling build: 4 shift-or passes instead of K=14 column
+    # passes (pad 2 columns so the 16-mer ladder covers every start)
+    cpad = jnp.pad(codes, ((0, 0), (0, 16 - K)), constant_values=4)
+    k1 = (cpad & 3).astype(u32)
+    v1 = cpad < 4
+    k2 = (k1[:, :-1] << u32(2)) | k1[:, 1:]
+    v2 = v1[:, :-1] & v1[:, 1:]
+    k4 = (k2[:, :-2] << u32(4)) | k2[:, 2:]
+    v4 = v2[:, :-2] & v2[:, 2:]
+    k8 = (k4[:, :-4] << u32(8)) | k4[:, 4:]
+    v8 = v4[:, :-4] & v4[:, 4:]
+    k16 = (k8[:, :-8] << u32(16)) | k8[:, 8:]
+    km = (k16 >> u32(2 * (16 - K)))[:, :NP]  # top 2K bits = K-mer at p
+    kvalid = (v8[:, :NP] & v4[:, 8 : 8 + NP] & v2[:, 12 : 12 + NP])
     kvalid = kvalid & (jnp.arange(NP, dtype=i32)[None, :] + K
                        <= lens[:, None])
     h = jnp.where(kvalid, _mix32(km), _UMAX)
