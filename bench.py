@@ -450,9 +450,10 @@ def main() -> int:
                 stats["chr20_pe_reads_s"] = round(c_rps)
             except Exception as e:  # chr20 leg must not cost the headline
                 _log(f"chr20 leg failed ({type(e).__name__}: {e})")
-        if os.environ.get("BST_BENCH_GRCH38") == "1":
+        if os.environ.get("BST_BENCH_NO_GRCH38") != "1":
             # config-4-class leg (VERDICT r4 item 6): a saved >=2 G-doubled
-            # int64-rank index in a SUBPROCESS (own x64 config + HBM);
+            # int64-rank index in a SUBPROCESS (own x64 config + HBM;
+            # verified to coexist with this process's device claim);
             # skips gracefully when the artifact is absent
             import subprocess
 
