@@ -235,11 +235,14 @@ def kmer_eligible(idx, options) -> bool:
 def smax_for(max_mem_intv: int) -> int:
     """Occurrence-scan cap: counts above it fall back; must stay below
     max_mem_intv so the round-3 scan provably stops at its first
-    eligible check (module docstring), and <= 8 so a bucket scan is one
-    row gather (KmerTable layout)."""
+    eligible check (module docstring), <= 14 because the stored bucket
+    count saturates at 15 (15 means ">= 15"), and a <= 16-entry window
+    always fits ONE 32-entry row of one shifted copy (KmerTable
+    layout). chr20-scale census: the cap at 8 made capped buckets the
+    dominant fallback class (183/16K reads); 14 absorbs most of them."""
     if max_mem_intv <= 0:  # round 3 disabled: no constraint from it
-        return 8
-    return min(8, max_mem_intv - 1)
+        return 14
+    return min(14, max_mem_intv - 1)
 
 
 def dmax_for(meta: "KmerMeta", nmz: int = 48) -> int:
@@ -425,11 +428,12 @@ def collect_seeds_kmer(
     o0 = bm >> 4
     cnt = bm & 15
     capped = mzok & (cnt > smax)
-    # <= 8 consecutive entries always sit in ONE row of one of the two
-    # shifted copies (KmerTable docstring)
+    # a <= 16-entry window always sits in ONE row of one of the two
+    # shifted copies (KmerTable docstring): E0 when it fits before
+    # column 32, else the 16-shifted copy
     nrows0 = (kt.entries.shape[0] - 1) // 2
     col0 = o0 & 31
-    use1 = col0 > 24
+    use1 = col0 > 32 - smax
     row = jnp.where(use1, nrows0 + ((o0 - 16) >> 5), o0 >> 5)
     col = jnp.where(use1, col0 - 16, col0)
     erows = kt.entries[

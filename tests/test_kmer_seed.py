@@ -271,6 +271,41 @@ def test_end_to_end_kmer_equals_oracle():
         assert gg == w, (i, gg, w)
 
 
+def test_fm_seeder_end_to_end_still_covered():
+    """BST_SEEDER=fm keeps the FM pipeline end-to-end oracle-equal —
+    the FM machine remains the sharded/long-read/fat-retry seeder, so
+    its full-pipeline coverage must not silently vanish now that kmer
+    is the default."""
+    import os
+
+    from bioseqdb_tpu.cpu.ksw import cigar_to_string
+
+    g = simulate_genome(25_000, seed=87)
+    idx = build_index([("ref", g)])
+    opt = AlignOptions()
+    os.environ["BST_SEEDER"] = "fm"
+    try:
+        al = Aligner.build(idx, opt, mode="full")
+    finally:
+        del os.environ["BST_SEEDER"]
+    assert al.kmer_meta is None
+    sim = simulate_reads(g, 24, read_len=150, sub_rate=0.02, seed=88)
+    batch = pack_reads(list(sim.reads), [f"r{i}" for i in range(24)])
+    results = al.align_batch(batch)
+    LUT = np.zeros(256, np.uint8)
+    for _i, _c in enumerate(b"ACGT"):
+        LUT[_c] = _i
+    for i, r in enumerate(sim.reads):
+        q = LUT[np.frombuffer(r.encode(), np.uint8)]
+        want = O.align_read(idx, opt, q, rand_id=i,
+                            min_score=opt.min_score, all_hits=True)
+        w = [(a.pos, a.is_rev, cigar_to_string(a.cigar), a.score, a.mapq)
+             for a in want]
+        gg = [(h.ref_begin, h.is_reverse, h.cigar, h.score, h.mapq)
+              for h in results[i].hits]
+        assert gg == w, (i, gg, w)
+
+
 def test_kmer_gating():
     g = simulate_genome(5_000, seed=91)
     idx = build_index([("g", g)])
